@@ -80,9 +80,10 @@ def render_scene(
         acc = np.zeros((y1 - y0, x1 - x0), np.float64)
         for sy in range(ss):
             for sx in range(ss):
-                # Pixel centers at integer coords + subsample offsets
-                px = xs + (sx + 0.5) / ss - 0.5
-                py = ys + (sy + 0.5) / ss - 0.5
+                # apriltag pixel convention: pixel (i,j) covers [i,i+1)^2,
+                # center at (i+0.5, j+0.5)
+                px = xs + (sx + 0.5) / ss
+                py = ys + (sy + 0.5) / ss
                 ones = np.ones_like(px, np.float64)
                 pts = np.stack([px, py, ones], -1) @ hinv.T
                 tx = pts[..., 0] / pts[..., 2]
