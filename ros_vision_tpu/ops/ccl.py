@@ -1,0 +1,106 @@
+"""Connected-components labeling on TPU.
+
+TPU-native replacement for the reference's BKE union-find labeling
+(labeling_allegretti_2019_BKE.cu:466-492). Atomics/pointer-chasing union-find
+is hostile to the TPU's dense SIMD model, so we use a dense
+Shiloach-Vishkin-style algorithm instead: iterative min-neighbor hooking with
+scatter-min plus pointer-jumping path compression, which converges in
+O(log diameter) full-image passes — every pass is pure vectorized
+gather/scatter the XLA compiler pipelines over HBM.
+
+Connectivity matches the apriltag unionfind semantics the reference
+implements: 4-way for black (0) pixels, 8-way for white (255); 127 pixels are
+their own singletons. Every component's final label is the minimum flat pixel
+index in the component (deterministic canonical labels, unlike the
+reference's arbitrary union-find representatives).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2 ** 30)
+
+# (dy, dx, diagonal?)
+_OFFSETS = [
+    (0, -1, False), (0, 1, False), (-1, 0, False), (1, 0, False),
+    (-1, -1, True), (-1, 1, True), (1, -1, True), (1, 1, True),
+]
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift (B, H, W) so that out[y, x] = in[y+dy, x+dx], filling borders."""
+    out = jnp.roll(x, (-dy, -dx), axis=(1, 2))
+    if dy == 1:
+        out = out.at[:, -1, :].set(fill)
+    elif dy == -1:
+        out = out.at[:, 0, :].set(fill)
+    if dx == 1:
+        out = out.at[:, :, -1].set(fill)
+    elif dx == -1:
+        out = out.at[:, :, 0].set(fill)
+    return out
+
+
+def _neighbor_min(labels_img: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Min label over connectivity-eligible neighbors (and self)."""
+    m = labels_img
+    not127 = v != 127
+    for dy, dx, diag in _OFFSETS:
+        nv = _shift2d(v, dy, dx, jnp.uint8(127))
+        nl = _shift2d(labels_img, dy, dx, _BIG)
+        ok = not127 & (nv == v)
+        if diag:
+            ok &= v == 255
+        m = jnp.minimum(m, jnp.where(ok, nl, _BIG))
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def label_components(threshim: jnp.ndarray, max_iters: int = 48):
+    """Label same-value components of a {0,127,255} image.
+
+    threshim: (B, H, W) uint8.
+    Returns (labels, sizes): labels (B, H*W) int32 = min flat index of each
+    pixel's component; sizes (B, H*W) int32 = component size gathered back to
+    every pixel (the reference exposes per-blob sizes the same way for the
+    min-cluster-pixel gates, labeling_allegretti_2019_BKE.cu:411-460).
+    """
+    b, h, w = threshim.shape
+    n = h * w
+    init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+
+    def gather(p, idx):
+        return jnp.take_along_axis(p, idx, axis=1)
+
+    def body(state):
+        p, _, it = state
+        limg = p.reshape(b, h, w)
+        m = _neighbor_min(limg, threshim).reshape(b, n)
+        # hook: p[p[i]] <- min(m[i]) over i sharing the parent
+        hooked = p  # p[i] indexes roots; scatter-min m at those roots
+        flat = hooked.reshape(-1) + (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * n).reshape(-1)
+        pn = p.reshape(-1).at[flat].min(m.reshape(-1)).reshape(b, n)
+        # pointer jumping (path compression), twice
+        pn = gather(pn, pn)
+        pn = gather(pn, pn)
+        changed = jnp.any(pn != p)
+        return pn, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    p, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True),
+                                              jnp.int32(0)))
+    ones = jnp.ones((b, n), jnp.int32)
+    sizes_at_root = jnp.zeros((b, n), jnp.int32)
+    flat = p.reshape(-1) + (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * n).reshape(-1)
+    sizes_at_root = sizes_at_root.reshape(-1).at[flat].add(
+        ones.reshape(-1)).reshape(b, n)
+    sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
+    return p, sizes

@@ -1,0 +1,110 @@
+"""Fixed-shape segment utilities: masked compaction, segmented scans.
+
+TPU-native replacements for the reference's data-dependent cub pipeline
+(DeviceSelect/DeviceRadixSort/DeviceReduce/InclusiveScanByKey,
+apriltag_gpu.cu:788-990): everything here is static-shape and jit-friendly —
+compaction is cumsum+scatter into a bounded buffer, reductions are
+segment_sum over a bounded segment-id space, and the inclusive scan is a
+flagged segmented associative scan.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
+    """Masked stream compaction: keep the first K valid elements.
+
+    valid: (B, M) bool; payload: dict of (B, M) arrays; fill: per-key fill
+    value for unused slots. Returns (dict of (B, K) arrays, counts (B,)).
+    Equivalent role to cub::DeviceSelect::If (apriltag_gpu.cu:788-802), with
+    a hard cap instead of a device-side count.
+    """
+    b, m = valid.shape
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    counts = jnp.minimum(pos[:, -1] + 1, k)
+    ok = valid & (pos < k)
+    idx = jnp.where(ok, pos, k)  # k = trash slot
+    out = {}
+    for key, arr in payload.items():
+        buf = jnp.full((b, k + 1), fill[key], arr.dtype)
+        buf = jax.vmap(lambda bf, ix, a: bf.at[ix].set(a))(buf, idx, arr)
+        out[key] = buf[:, :k]
+    return out, counts
+
+
+def segment_ids_from_sorted_keys(*keys: jnp.ndarray, valid: jnp.ndarray,
+                                 max_segments: int):
+    """Segment ids for a key-sorted array (role of the key-change detection
+    feeding cub::DeviceReduce::ReduceByKey, apriltag_gpu.cu:829-862).
+
+    Returns seg (B, K) int32 in [0, max_segments]; id == max_segments is the
+    overflow/invalid bucket."""
+    change = jnp.zeros_like(valid)
+    change = change.at[:, 0].set(True)
+    for kk in keys:
+        change = change | jnp.concatenate(
+            [jnp.ones_like(kk[:, :1], jnp.bool_), kk[:, 1:] != kk[:, :-1]],
+            axis=1)
+    change = change & valid
+    seg = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1
+    seg = jnp.where(valid & (seg < max_segments), seg, max_segments)
+    return seg
+
+
+def batched_segment_sum(data: jnp.ndarray, seg: jnp.ndarray,
+                        num_segments: int):
+    """segment_sum with a leading batch dim. data (B, K) or (B, K, C),
+    seg (B, K) -> (B, num_segments[, C])."""
+    b = seg.shape[0]
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * num_segments
+    flat_seg = (seg + offs).reshape(-1)
+    flat = data.reshape((-1,) + data.shape[2:])
+    out = jax.ops.segment_sum(flat, flat_seg, num_segments=b * num_segments)
+    return out.reshape((b, num_segments) + data.shape[2:])
+
+
+def batched_segment_min(data, seg, num_segments):
+    b = seg.shape[0]
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * num_segments
+    out = jax.ops.segment_min((data).reshape(-1), (seg + offs).reshape(-1),
+                              num_segments=b * num_segments)
+    return out.reshape(b, num_segments)
+
+
+def batched_segment_max(data, seg, num_segments):
+    b = seg.shape[0]
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * num_segments
+    out = jax.ops.segment_max((data).reshape(-1), (seg + offs).reshape(-1),
+                              num_segments=b * num_segments)
+    return out.reshape(b, num_segments)
+
+
+def segmented_cumsum(data: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive segmented cumsum along axis 1.
+
+    data (B, K[, C]); starts (B, K) bool marking the first element of each
+    segment. Log-depth associative scan with reset flags — the TPU equivalent
+    of cub::InclusiveScanByKey (apriltag_gpu.cu:960-990). Keeping the scan
+    segment-local (instead of global-cumsum-minus-offset) also keeps f32
+    magnitudes bounded per segment."""
+    flags = starts.astype(data.dtype)
+    if data.ndim == 3:
+        flags = jnp.broadcast_to(flags[..., None], data.shape)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return av * (1 - bf) + bv, jnp.maximum(af, bf)
+
+    out, _ = jax.lax.associative_scan(combine, (data, flags), axis=1)
+    return out
+
+
+def take1(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather along axis 1: arr (B, K[, C]), idx (B, K') ->
+    (B, K'[, C])."""
+    if arr.ndim == 3:
+        return jnp.take_along_axis(arr, idx[..., None], axis=1)
+    return jnp.take_along_axis(arr, idx, axis=1)
