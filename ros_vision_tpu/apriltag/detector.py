@@ -1,0 +1,179 @@
+"""TPUDetector — the batched, jitted AprilTag detection pipeline.
+
+TPU-native equivalent of the reference's GpuDetector orchestrator
+(apriltag_gpu.cu:111-188, Detect() chain at :725-1097) plus its host finish
+(apriltag_detect.cu): ONE jit-compiled function takes a (B, H, W) uint8
+batch of grayscale frames (the camera axis is the batch axis — the
+reference's per-camera process pairs become rows of this tensor) and returns
+fixed-shape detection tensors: ids, corners, homographies, poses. No
+mid-pipeline host syncs (the reference syncs 4 counters per frame,
+apriltag_gpu.cu:806,938,1016,1073); a single device->host copy returns the
+final detection slots.
+
+For multi-chip scale-out, shard the batch axis over a mesh — see
+ros_vision_tpu.parallel.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_vision_tpu.apriltag.families import TagFamily, get_family
+from ros_vision_tpu.ops import ccl, decode as dec, pose as poseops
+from ros_vision_tpu.ops import quadfit, threshold as thr
+
+
+@dataclasses.dataclass
+class TPUDetection:
+    tag_id: int
+    hamming: int
+    decision_margin: float
+    center: np.ndarray
+    corners: np.ndarray
+    H: np.ndarray
+    pose_R: np.ndarray | None = None
+    pose_t: np.ndarray | None = None
+    pose_err: float | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    width: int = 1280
+    height: int = 800
+    family: str = "tag36h11"
+    max_points: int = 32768
+    max_segments: int = 512
+    max_quads: int = 64
+    refine_edges: bool = True
+    estimate_pose: bool = True
+    tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        assert self.width % 8 == 0 and self.height % 8 == 0, \
+            "width/height must be multiples of 8 (apriltag_gpu.cu:754-755)"
+
+
+class TPUDetector:
+    """Batched detector. Build once per (config, batch) — compiled on first
+    call, cached thereafter."""
+
+    def __init__(self, config: DetectorConfig | None = None, **kw):
+        if config is None:
+            config = DetectorConfig(**kw)
+        self.config = config
+        self.family: TagFamily = get_family(config.family)
+        self._code_matrix = jnp.asarray(dec.make_code_matrix(self.family))
+        self._qcfg = quadfit.QuadFitConfig(
+            max_points=config.max_points,
+            max_segments=config.max_segments,
+            max_quads=config.max_quads,
+            tag_width=max(3, self.family.border_size // dec.QUAD_DECIMATE))
+        self._fn = jax.jit(self._detect_device)
+
+    # ---- the jitted pipeline --------------------------------------------
+    def _detect_device(self, gray: jnp.ndarray):
+        cfg = self.config
+        decim = thr.decimate2(gray)
+        threshim, _ = thr.adaptive_threshold(decim)
+        labels, sizes = ccl.label_components(threshim)
+        pts, _counts = quadfit.boundary_points(threshim, labels, sizes,
+                                               self._qcfg)
+        qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)
+        corners = dec.adjust_pixel_centers(qf["corners"])
+        qvalid = qf["quad_valid"]
+
+        intr = None
+        dist = None
+        if any(cfg.dist) or cfg.fx:
+            intr = (cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+            dist = jnp.asarray(cfg.dist, jnp.float32)
+        if cfg.refine_edges:
+            corners = dec.refine_edges(
+                gray, corners, qvalid,
+                intr if (dist is not None and any(cfg.dist)) else None,
+                dist if any(cfg.dist) else None)
+
+        d = dec.decode_quads(gray, corners, qvalid, self.family,
+                             self._code_matrix)
+        ok = d["ok"]
+        H = d["H"]
+        tcs = jnp.asarray([[-1, 1], [1, 1], [1, -1], [-1, -1]], jnp.float32)
+        px, py = dec.project(H[..., None, :, :], tcs[:, 0], tcs[:, 1])
+        det_corners = jnp.stack([px, py], -1)          # (B, NQ, 4, 2)
+        cx0, cy0 = dec.project(H, 0.0, 0.0)
+        centers = jnp.stack([cx0, cy0], -1)
+
+        # reconcile duplicates on device (reconcile_detections): same id +
+        # overlapping centers -> keep lowest hamming then highest margin
+    # score: lower is better; invalid slots = +inf
+        score = d["hamming"].astype(jnp.float32) * 1e6 - d["margin"]
+        score = jnp.where(ok, score, jnp.inf)
+        diag = jnp.linalg.norm(det_corners[:, :, 0] - det_corners[:, :, 2],
+                               axis=-1)
+        cdist = jnp.linalg.norm(centers[:, :, None, :]
+                                - centers[:, None, :, :], axis=-1)
+        same = (d["tag_id"][:, :, None] == d["tag_id"][:, None, :]) & \
+            (cdist < 0.5 * diag[:, :, None]) & \
+            ok[:, :, None] & ok[:, None, :]
+        nq = score.shape[1]
+        ii = jnp.arange(nq)
+        better = (score[:, None, :] < score[:, :, None]) | \
+            ((score[:, None, :] == score[:, :, None])
+             & (ii[None, None, :] < ii[None, :, None]))
+        loses = (same & better & (ii[None, None, :] != ii[None, :, None])
+                 ).any(-1)
+        ok = ok & ~loses
+
+        out = {
+            "ok": ok, "tag_id": d["tag_id"], "hamming": d["hamming"],
+            "margin": d["margin"], "H": H, "corners": det_corners,
+            "centers": centers,
+        }
+        if cfg.estimate_pose and cfg.fx:
+            R, t, err = poseops.estimate_poses(
+                H, cfg.tag_size, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+            out.update({"pose_R": R, "pose_t": t, "pose_err": err})
+        return out
+
+    # ---- host API --------------------------------------------------------
+    def detect_raw(self, gray_batch) -> dict:
+        """Returns the raw fixed-shape device output dict."""
+        g = jnp.asarray(gray_batch)
+        if g.ndim == 2:
+            g = g[None]
+        return self._fn(g)
+
+    def detect(self, gray_batch) -> list:
+        """Returns a list (per batch row) of lists of TPUDetection,
+        sorted by tag id (the reference sorts decode output by id,
+        apriltag_detect.cu:284-288)."""
+        single = np.asarray(gray_batch).ndim == 2
+        out = jax.tree_util.tree_map(np.asarray, self.detect_raw(gray_batch))
+        results = []
+        for b in range(out["ok"].shape[0]):
+            dets = []
+            for q in np.nonzero(out["ok"][b])[0]:
+                det = TPUDetection(
+                    tag_id=int(out["tag_id"][b, q]),
+                    hamming=int(out["hamming"][b, q]),
+                    decision_margin=float(out["margin"][b, q]),
+                    center=out["centers"][b, q],
+                    corners=out["corners"][b, q],
+                    H=out["H"][b, q])
+                if "pose_t" in out:
+                    det.pose_R = out["pose_R"][b, q]
+                    det.pose_t = out["pose_t"][b, q]
+                    det.pose_err = float(out["pose_err"][b, q])
+                dets.append(det)
+            dets.sort(key=lambda d: d.tag_id)
+            results.append(dets)
+        return results[0] if single else results

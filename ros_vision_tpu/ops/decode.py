@@ -1,0 +1,371 @@
+"""On-device tag decode: refine-edges, homography, bit sampling, code match.
+
+TPU-native replacement for the reference's host-side quad finish + decode
+(apriltag_detect.cu:98-663: UpdateFitQuads / AdjustPixelCenters /
+RefineEdges / DecodeTags via the apriltag C library's workerpool). Instead of
+shipping quads back to a CPU thread pool, everything is dense batched math
+over a fixed quad slot axis:
+
+  - refine_edges: fixed sample grids per edge (the reference adapts sample
+    count to edge length, max(16, len/8); we use a static superset), with the
+    reference's undistort-fit-redistort scheme when calibration is given.
+  - decode: batched DLT homography solve, border gray-model fit, bilinear
+    bit sampling, 3x3 decode-sharpening, and code matching as ONE matmul
+    against the family's (4*n_codes, nbits) bit matrix on the MXU
+    (hamming(b, c) = |b| + |c| - 2 b.c).
+
+All f32; the decode decision thresholds tolerate far more noise than the
+f32/f64 difference.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros_vision_tpu.apriltag.families import TagFamily
+
+QUAD_DECIMATE = 2
+DECODE_SHARPENING = 0.25
+MAX_HAMMING = 2
+REFINE_ALPHA_SAMPLES = 32     # reference: max(16, edge_len/8), dynamic
+REFINE_NORMAL_STEPS = 25      # range ±(quad_decimate+1), step 0.25 -> 25
+
+
+def adjust_pixel_centers(corners: jnp.ndarray) -> jnp.ndarray:
+    """Decimated -> full-res coords (AdjustPixelCenters,
+    apriltag_detect.cu:260-282)."""
+    return (corners - 0.5) * QUAD_DECIMATE + 0.5
+
+
+def _bilinear(gray_f: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Batched bilinear sample with apriltag's half-pixel convention
+    (value_for_pixel). gray_f (B, H, W) float32; px/py (B, ...).
+    Returns (value, in_bounds)."""
+    b, h, w = gray_f.shape
+    x1 = jnp.floor(px - 0.5)
+    y1 = jnp.floor(py - 0.5)
+    fx = px - 0.5 - x1
+    fy = py - 0.5 - y1
+    x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+    ok = (x1i >= 0) & (x1i + 1 < w) & (y1i >= 0) & (y1i + 1 < h)
+    x1c = jnp.clip(x1i, 0, w - 2)
+    y1c = jnp.clip(y1i, 0, h - 2)
+    flat = gray_f.reshape(b, -1)
+    shp = px.shape
+
+    def at(yy, xx):
+        idx = (yy * w + xx).reshape(b, -1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(shp)
+
+    v = (at(y1c, x1c) * (1 - fx) * (1 - fy) + at(y1c, x1c + 1) * fx * (1 - fy)
+         + at(y1c + 1, x1c) * (1 - fx) * fy + at(y1c + 1, x1c + 1) * fx * fy)
+    return v, ok
+
+
+def _int_sample(gray_f: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Integer-truncation sample (the reference's int cast), with bounds."""
+    b, h, w = gray_f.shape
+    xi = px.astype(jnp.int32)
+    yi = py.astype(jnp.int32)
+    ok = (px >= 0) & (py >= 0) & (xi < w) & (yi < h)
+    xc = jnp.clip(xi, 0, w - 1)
+    yc = jnp.clip(yi, 0, h - 1)
+    flat = gray_f.reshape(b, -1)
+    idx = (yc * w + xc).reshape(b, -1)
+    v = jnp.take_along_axis(flat, idx, axis=1).reshape(px.shape)
+    return v, ok
+
+
+def _undistort(px, py, intr, dist, iters=25):
+    fx, fy, cx, cy = intr
+    k1, k2, p1, p2, k3 = [dist[i] for i in range(5)]
+    x0 = (px - cx) / fx
+    y0 = (py - cy) / fy
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return (x0 - dx) / rad, (y0 - dy) / rad
+
+    x, y = jax.lax.fori_loop(0, iters, body, (x0, y0))
+    return x * fx + cx, y * fy + cy
+
+
+def _distort(px, py, intr, dist):
+    fx, fy, cx, cy = intr
+    k1, k2, p1, p2, k3 = [dist[i] for i in range(5)]
+    x = (px - cx) / fx
+    y = (py - cy) / fy
+    r2 = x * x + y * y
+    rad = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return xd * fx + cx, yd * fy + cy
+
+
+def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
+                 quad_valid: jnp.ndarray, intr=None, dist=None):
+    """Batched subpixel edge refinement (refine_edges + the frc971
+    undistortion variant). corners (B, NQ, 4, 2) full-res. Returns refined
+    corners."""
+    b, nq = corners.shape[:2]
+    gray_f = gray.astype(jnp.float32)
+    have_dist = intr is not None and dist is not None
+
+    pa = corners                                     # edge start (a = i)
+    pb = jnp.roll(corners, -1, axis=2)               # edge end (b = i+1)
+    nx = pb[..., 1] - pa[..., 1]
+    ny = -pb[..., 0] + pa[..., 0]
+    mag = jnp.sqrt(nx * nx + ny * ny)
+    mag_safe = jnp.where(mag == 0, 1e-6, mag)
+    nx = nx / mag_safe
+    ny = ny / mag_safe
+
+    s = jnp.arange(REFINE_ALPHA_SAMPLES, dtype=jnp.float32)
+    alpha = (1.0 + s) / (REFINE_ALPHA_SAMPLES + 1)   # (S,)
+    x0 = (alpha[None, None, None, :] * pa[..., 0:1]
+          + (1 - alpha)[None, None, None, :] * pb[..., 0:1])  # (B,NQ,4,S)
+    y0 = (alpha[None, None, None, :] * pa[..., 1:2]
+          + (1 - alpha)[None, None, None, :] * pb[..., 1:2])
+
+    rng = QUAD_DECIMATE + 1
+    n_off = -rng + 0.25 * jnp.arange(REFINE_NORMAL_STEPS, dtype=jnp.float32)
+    grange = 1.0
+    nxb = nx[..., None, None]
+    nyb = ny[..., None, None]
+    x0b = x0[..., None]
+    y0b = y0[..., None]
+    noffb = n_off[None, None, None, None, :]
+    xs1 = x0b + (noffb + grange) * nxb      # (B,NQ,4,S,N)
+    ys1 = y0b + (noffb + grange) * nyb
+    xs2 = x0b + (noffb - grange) * nxb
+    ys2 = y0b + (noffb - grange) * nyb
+    g1, ok1 = _int_sample(gray_f, xs1, ys1)
+    g2, ok2 = _int_sample(gray_f, xs2, ys2)
+    ok = ok1 & ok2 & (g1 >= g2)
+    wgt = jnp.where(ok, (g2 - g1) * (g2 - g1), 0.0)
+    xo = x0b + noffb * nxb
+    yo = y0b + noffb * nyb
+    if have_dist:
+        xo, yo = _undistort(xo, yo, intr, dist)
+    mxy = jnp.stack([wgt * xo, wgt * yo, wgt * xo * xo, wgt * xo * yo,
+                     wgt * yo * yo, wgt], axis=-1)
+    m = mxy.sum(axis=(3, 4))                        # (B,NQ,4,6)
+    n_tot = m[..., 5]
+    usable = n_tot > 1e-9
+    n_safe = jnp.where(usable, n_tot, 1.0)
+    ex = m[..., 0] / n_safe
+    ey = m[..., 1] / n_safe
+    cxx = m[..., 2] / n_safe - ex * ex
+    cxy = m[..., 3] / n_safe - ex * ey
+    cyy = m[..., 4] / n_safe - ey * ey
+    theta = 0.5 * jnp.arctan2(-2 * cxy, cyy - cxx)
+    lnx = jnp.cos(theta)
+    lny = jnp.sin(theta)
+
+    # intersect consecutive refined lines -> corner (i+1)&3
+    out = corners
+    for i in range(4):
+        j = (i + 1) & 3
+        a00, a01 = lny[..., i], -lny[..., j]
+        a10, a11 = -lnx[..., i], lnx[..., j]
+        b0 = -ex[..., i] + ex[..., j]
+        b1 = -ey[..., i] + ey[..., j]
+        det = a00 * a11 - a10 * a01
+        good = (jnp.abs(det) > 1e-3) & usable[..., i] & usable[..., j] & \
+            quad_valid
+        l0 = (a11 * b0 - a01 * b1) / jnp.where(det == 0, 1e-12, det)
+        px = ex[..., i] + l0 * a00
+        py = ey[..., i] + l0 * a10
+        if have_dist:
+            px, py = _distort(px, py, intr, dist)
+        out = out.at[:, :, j, 0].set(jnp.where(good, px, out[:, :, j, 0]))
+        out = out.at[:, :, j, 1].set(jnp.where(good, py, out[:, :, j, 1]))
+    return out
+
+
+def quad_homographies(corners: jnp.ndarray) -> jnp.ndarray:
+    """Batched DLT: tag frame (-1,-1),(1,-1),(1,1),(-1,1) -> corners.
+    corners (..., 4, 2) -> H (..., 3, 3)."""
+    src = jnp.asarray([[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32)
+    rows = []
+    rhs = []
+    for i in range(4):
+        x, y = src[i, 0], src[i, 1]
+        u = corners[..., i, 0]
+        v = corners[..., i, 1]
+        one = jnp.ones_like(u)
+        zero = jnp.zeros_like(u)
+        rows.append(jnp.stack([x * one, y * one, one, zero, zero, zero,
+                               -u * x, -u * y], -1))
+        rows.append(jnp.stack([zero, zero, zero, x * one, y * one, one,
+                               -v * x, -v * y], -1))
+        rhs += [u, v]
+    a = jnp.stack(rows, -2)                       # (..., 8, 8)
+    bvec = jnp.stack(rhs, -1)                     # (..., 8)
+    h8 = jnp.linalg.solve(a, bvec[..., None])[..., 0]
+    ones = jnp.ones_like(h8[..., :1])
+    return jnp.concatenate([h8, ones], -1).reshape(corners.shape[:-2] + (3, 3))
+
+
+def project(H: jnp.ndarray, tx, ty):
+    """H (..., 3, 3); tx/ty (...,) or broadcastable with extra sample dims
+    appended."""
+    z = H[..., 2, 0] * tx + H[..., 2, 1] * ty + H[..., 2, 2]
+    px = (H[..., 0, 0] * tx + H[..., 0, 1] * ty + H[..., 0, 2]) / z
+    py = (H[..., 1, 0] * tx + H[..., 1, 1] * ty + H[..., 1, 2]) / z
+    return px, py
+
+
+@functools.lru_cache(maxsize=8)
+def _decode_tables(grid_size: int, border_size: int):
+    """Static sample-coordinate tables for a family geometry."""
+    wb = border_size
+    pats = [(-0.5, 0.5, 0, 1, 1), (0.5, 0.5, 0, 1, 0),
+            (wb + 0.5, 0.5, 0, 1, 1), (wb - 0.5, 0.5, 0, 1, 0),
+            (0.5, -0.5, 1, 0, 1), (0.5, 0.5, 1, 0, 0),
+            (0.5, wb + 0.5, 1, 0, 1), (0.5, wb - 0.5, 1, 0, 0)]
+    tx, ty, is_white = [], [], []
+    for sx, sy, dx, dy, w in pats:
+        for i in range(wb):
+            tx.append(2 * ((sx + i * dx) / wb - 0.5))
+            ty.append(2 * ((sy + i * dy) / wb - 0.5))
+            is_white.append(w)
+    border = (np.array(tx, np.float32), np.array(ty, np.float32),
+              np.array(is_white, np.float32))
+    g = grid_size
+    bx = 1 + np.arange(g * g) % g
+    by = 1 + np.arange(g * g) // g
+    bits = (2 * ((bx + 0.5) / wb - 0.5).astype(np.float32),
+            2 * ((by + 0.5) / wb - 0.5).astype(np.float32))
+    return border, bits
+
+
+def make_code_matrix(family: TagFamily) -> np.ndarray:
+    """(n_codes*4, nbits) float32 bit matrix (static constant)."""
+    n, nbits = family.n_codes, family.nbits
+    codes = family.codes.reshape(-1)           # (n*4,)
+    out = np.zeros((len(codes), nbits), np.float32)
+    for i, c in enumerate(codes):
+        for bit in range(nbits):
+            out[i, bit] = (int(c) >> (nbits - 1 - bit)) & 1
+    return out
+
+
+def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
+                 quad_valid: jnp.ndarray, family: TagFamily,
+                 code_matrix: jnp.ndarray):
+    """Batched quad decode (apriltag.c quad_decode semantics).
+
+    Returns dict: ok (B,NQ), tag_id, hamming, rotation (int32),
+    margin (f32), H (B,NQ,3,3)."""
+    b, nq = corners.shape[:2]
+    gray_f = gray.astype(jnp.float32)
+    H = quad_homographies(corners)
+    wb = family.border_size
+    (btx, bty, bwhite), (dtx, dty) = _decode_tables(family.grid_size, wb)
+    btx = jnp.asarray(btx)
+    bty = jnp.asarray(bty)
+    bwhite = jnp.asarray(bwhite)
+
+    # --- border samples -> white/black gray models ----------------------
+    Hb = H[:, :, None, :, :]
+    pxs = (Hb[..., 0, 0] * btx + Hb[..., 0, 1] * bty + Hb[..., 0, 2])
+    pys = (Hb[..., 1, 0] * btx + Hb[..., 1, 1] * bty + Hb[..., 1, 2])
+    pzs = (Hb[..., 2, 0] * btx + Hb[..., 2, 1] * bty + Hb[..., 2, 2])
+    pxs = pxs / pzs
+    pys = pys / pzs
+    v, ok = _int_sample(gray_f, pxs, pys)      # (B, NQ, 8*wb)
+    wmask = (bwhite[None, None, :] > 0.5) & ok
+    kmask = (bwhite[None, None, :] < 0.5) & ok
+
+    def gray_model(mask):
+        w = mask.astype(jnp.float32)
+        rx, ry = btx[None, None, :], bty[None, None, :]
+        one = jnp.ones_like(rx)
+        A = jnp.stack([
+            jnp.stack([(w * rx * rx).sum(-1), (w * rx * ry).sum(-1),
+                       (w * rx).sum(-1)], -1),
+            jnp.stack([(w * rx * ry).sum(-1), (w * ry * ry).sum(-1),
+                       (w * ry).sum(-1)], -1),
+            jnp.stack([(w * rx).sum(-1), (w * ry).sum(-1),
+                       (w * one).sum(-1)], -1)], -2)
+        bb = jnp.stack([(w * rx * v).sum(-1), (w * ry * v).sum(-1),
+                        (w * v).sum(-1)], -1)
+        A = A + 1e-6 * jnp.eye(3)
+        return jnp.linalg.solve(A, bb[..., None])[..., 0]   # (B,NQ,3)
+
+    cw = gray_model(wmask)
+    ck = gray_model(kmask)
+    ok_models = (cw[..., 2] - ck[..., 2]) >= 0   # white(0,0) - black(0,0)
+
+    # --- data bit samples ------------------------------------------------
+    dtxj = jnp.asarray(dtx)
+    dtyj = jnp.asarray(dty)
+    bx = (Hb[..., 0, 0] * dtxj + Hb[..., 0, 1] * dtyj + Hb[..., 0, 2])
+    by = (Hb[..., 1, 0] * dtxj + Hb[..., 1, 1] * dtyj + Hb[..., 1, 2])
+    bz = (Hb[..., 2, 0] * dtxj + Hb[..., 2, 1] * dtyj + Hb[..., 2, 2])
+    bxp = bx / bz
+    byp = by / bz
+    bv, bok = _bilinear(gray_f, bxp, byp)        # (B, NQ, nbits)
+    thr_w = cw[..., 0:1] * dtxj + cw[..., 1:2] * dtyj + cw[..., 2:3]
+    thr_k = ck[..., 0:1] * dtxj + ck[..., 1:2] * dtyj + ck[..., 2:3]
+    vals = jnp.where(bok, bv - (thr_w + thr_k) * 0.5, 0.0)
+
+    # --- decode sharpening on the (total, total) grid --------------------
+    g = family.grid_size
+    total = wb + 2
+    grid = jnp.zeros((b, nq, total, total), jnp.float32)
+    grid = grid.at[:, :, 2:2 + g, 2:2 + g].set(vals.reshape(b, nq, g, g))
+    kern = jnp.asarray([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], jnp.float32)
+    sharp = jax.lax.conv_general_dilated(
+        grid.reshape(b * nq, 1, total, total),
+        kern[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW")).reshape(
+            b, nq, total, total)
+    grid = grid + DECODE_SHARPENING * sharp
+    vals = grid[:, :, 2:2 + g, 2:2 + g].reshape(b, nq, g * g)
+
+    bits = (vals > 0).astype(jnp.float32)        # (B, NQ, nbits)
+    white_score = jnp.where(vals > 0, vals, 0.0).sum(-1)
+    white_cnt = bits.sum(-1) + 1.0
+    black_score = jnp.where(vals <= 0, -vals, 0.0).sum(-1)
+    black_cnt = (family.nbits - bits.sum(-1)) + 1.0
+    margin = jnp.minimum(white_score / white_cnt, black_score / black_cnt)
+
+    # --- code match: one MXU matmul --------------------------------------
+    cm = code_matrix                              # (n*4, nbits)
+    code_pop = cm.sum(-1)                         # (n*4,)
+    bits_pop = bits.sum(-1, keepdims=True)        # (B, NQ, 1)
+    ham = (bits_pop + code_pop[None, None, :]
+           - 2.0 * jnp.einsum("bqn,cn->bqc", bits, cm,
+                              preferred_element_type=jnp.float32))
+    best = jnp.argmin(ham, axis=-1)
+    best_h = jnp.take_along_axis(ham, best[..., None], axis=-1)[..., 0]
+    tag_id = (best // 4).astype(jnp.int32)
+    rotation = (best % 4).astype(jnp.int32)
+    ok_all = quad_valid & ok_models & (best_h <= MAX_HAMMING)
+
+    # canonical-orientation homography: H' = H @ Rz(-rotation * 90deg)
+    theta = -rotation.astype(jnp.float32) * (math.pi / 2)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    R = jnp.stack([
+        jnp.stack([c, -s, zero], -1),
+        jnp.stack([s, c, zero], -1),
+        jnp.stack([zero, zero, one], -1)], -2)
+    Hdet = jnp.einsum("bqij,bqjk->bqik", H, R)
+
+    return {"ok": ok_all, "tag_id": tag_id,
+            "hamming": best_h.astype(jnp.int32), "rotation": rotation,
+            "margin": margin, "H": Hdet}

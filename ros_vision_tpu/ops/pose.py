@@ -1,0 +1,127 @@
+"""Batched tag pose estimation on device (orthogonal iteration).
+
+TPU equivalent of the reference's per-detection estimate_tag_pose call
+(apriltag lib apriltag_pose.c, called from apriltags_cuda_detector.cu:433):
+homography init + Lu-Hager-Mjolsness object-space refinement, with the
+classical planar second candidate, evaluated for ALL quad slots of ALL frames
+at once as dense (B, NQ, 3, 3) linear algebra. f32 is ample for centimeter-
+scale FRC accuracy; the parity tests bound the difference against the f64
+oracle.
+
+Convention (apriltag): camera z out of the lens, x right, y down; tag z into
+the tag. Detection corner order p[0..3] <-> tag corners
+(-1,1),(1,1),(1,-1),(-1,-1) scaled by tag_size/2.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ros_vision_tpu.ops.decode import project
+
+
+def _orthogonal_iteration(v, obj, r0, t0, n_steps=30):
+    """v (..., 4, 3) sight rays; obj (4, 3); r0 (..., 3, 3); t0 (..., 3)."""
+    vv = (v[..., :, :, None] * v[..., :, None, :]) / \
+        (v * v).sum(-1)[..., None, None]            # F_i (..., 4, 3, 3)
+    eye = jnp.eye(3, dtype=v.dtype)
+    G = jnp.linalg.inv(eye - vv.mean(-3)) / v.shape[-2]
+    p_mean = obj.mean(0)
+    p_res = obj - p_mean                              # (4, 3)
+
+    def body(_, rt):
+        r, _t = rt
+        rp = jnp.einsum("...ij,nj->...ni", r, obj)    # (..., 4, 3)
+        t = jnp.einsum("...ij,...j->...i", G,
+                       jnp.einsum("...nij,...nj->...i", vv - eye, rp))
+        q = jnp.einsum("...nij,...nj->...ni", vv, rp + t[..., None, :])
+        q_mean = q.mean(-2, keepdims=True)
+        m = jnp.einsum("...ni,nj->...ij", q - q_mean, p_res)
+        u, _s, vt = jnp.linalg.svd(m)
+        d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
+        fix = jnp.concatenate([jnp.ones_like(d)[..., None],
+                               jnp.ones_like(d)[..., None], d[..., None]],
+                              -1)
+        r_new = jnp.einsum("...ij,...j,...jk->...ik", u, fix, vt)
+        return r_new, t
+
+    r, t = jax.lax.fori_loop(0, n_steps, body, (r0, t0))
+    rp = jnp.einsum("...ij,nj->...ni", r, obj) + t[..., None, :]
+    res = rp - jnp.einsum("...nij,...nj->...ni", vv, rp)
+    err = (res * res).sum((-1, -2))
+    return r, t, err
+
+
+def _homography_init(H, fx, fy, cx, cy):
+    r20 = H[..., 2, 0]
+    r21 = H[..., 2, 1]
+    tz = H[..., 2, 2]
+    r00 = (H[..., 0, 0] - cx * r20) / fx
+    r01 = (H[..., 0, 1] - cx * r21) / fx
+    tx = (H[..., 0, 2] - cx * tz) / fx
+    r10 = (H[..., 1, 0] - cy * r20) / fy
+    r11 = (H[..., 1, 1] - cy * r21) / fy
+    ty = (H[..., 1, 2] - cy * tz) / fy
+    l1 = jnp.sqrt(r00 * r00 + r10 * r10 + r20 * r20)
+    l2 = jnp.sqrt(r01 * r01 + r11 * r11 + r21 * r21)
+    s = 1.0 / jnp.sqrt(jnp.maximum(l1 * l2, 1e-12))
+    s = jnp.where(tz < 0, -s, s)
+    c0 = jnp.stack([r00, r10, r20], -1) * s[..., None]
+    c1 = jnp.stack([r01, r11, r21], -1) * s[..., None]
+    c2 = jnp.cross(c0, c1)
+    r = jnp.stack([c0, c1, c2], -1)
+    u, _sv, vt = jnp.linalg.svd(r)
+    d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
+    fix = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], -1)
+    r = jnp.einsum("...ij,...j,...jk->...ik", u, fix, vt)
+    t = jnp.stack([tx, ty, tz], -1) * s[..., None]
+    return r, t
+
+
+def _axis_rotation(axis, ang):
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1)], -2)
+    eye = jnp.eye(3, dtype=axis.dtype)
+    s = jnp.sin(ang)[..., None, None]
+    c = (1 - jnp.cos(ang))[..., None, None]
+    return eye + s * K + c * jnp.einsum("...ij,...jk->...ik", K, K)
+
+
+def estimate_poses(Hdet: jnp.ndarray, tag_size: float,
+                   fx: float, fy: float, cx: float, cy: float,
+                   n_steps: int = 30):
+    """Hdet (B, NQ, 3, 3) canonical detection homographies ->
+    (R (B,NQ,3,3), t (B,NQ,3), err (B,NQ))."""
+    s = tag_size / 2.0
+    obj = jnp.asarray([[-s, s, 0], [s, s, 0], [s, -s, 0], [-s, -s, 0]],
+                      jnp.float32)
+    # detection corners from the homography
+    tcs = jnp.asarray([[-1, 1], [1, 1], [1, -1], [-1, -1]], jnp.float32)
+    px, py = project(Hdet[..., None, :, :], tcs[:, 0], tcs[:, 1])
+    v = jnp.stack([(px - cx) / fx, (py - cy) / fy, jnp.ones_like(px)], -1)
+
+    r0, t0 = _homography_init(Hdet, fx, fy, cx, cy)
+    t0 = t0 * s
+    r1, t1, e1 = _orthogonal_iteration(v, obj, r0, t0, n_steps)
+
+    # planar-ambiguity second candidate: mirror tilt about the sight line
+    tn = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    normal = r1[..., :, 2]
+    axis = jnp.cross(tn, normal)
+    sin_a = jnp.linalg.norm(axis, axis=-1)
+    cos_a = (tn * normal).sum(-1)
+    ang = -2.0 * jnp.arctan2(sin_a, cos_a)
+    axis = axis / jnp.maximum(sin_a, 1e-9)[..., None]
+    rot = _axis_rotation(axis, ang)
+    r2_init = jnp.einsum("...ij,...jk->...ik", rot, r1)
+    r2, t2, e2 = _orthogonal_iteration(v, obj, r2_init, t1, n_steps)
+
+    use2 = (e2 < e1) & (sin_a > 1e-8)
+    r = jnp.where(use2[..., None, None], r2, r1)
+    t = jnp.where(use2[..., None], t2, t1)
+    err = jnp.where(use2, e2, e1)
+    return r, t, err
