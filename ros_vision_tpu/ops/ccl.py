@@ -80,9 +80,8 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 48):
         limg = p.reshape(b, h, w)
         m = _neighbor_min(limg, threshim).reshape(b, n)
         # hook: p[p[i]] <- min(m[i]) over i sharing the parent
-        hooked = p  # p[i] indexes roots; scatter-min m at those roots
-        flat = hooked.reshape(-1) + (
-            jnp.arange(b, dtype=jnp.int32)[:, None] * n).reshape(-1)
+        offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+        flat = (p + offs).reshape(-1)
         pn = p.reshape(-1).at[flat].min(m.reshape(-1)).reshape(b, n)
         # pointer jumping (path compression), twice
         pn = gather(pn, pn)
@@ -96,11 +95,9 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 48):
 
     p, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True),
                                               jnp.int32(0)))
-    ones = jnp.ones((b, n), jnp.int32)
-    sizes_at_root = jnp.zeros((b, n), jnp.int32)
-    flat = p.reshape(-1) + (
-        jnp.arange(b, dtype=jnp.int32)[:, None] * n).reshape(-1)
-    sizes_at_root = sizes_at_root.reshape(-1).at[flat].add(
-        ones.reshape(-1)).reshape(b, n)
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+    flat = (p + offs).reshape(-1)
+    sizes_at_root = jnp.zeros((b * n,), jnp.int32).at[flat].add(
+        jnp.ones((b * n,), jnp.int32)).reshape(b, n)
     sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
     return p, sizes

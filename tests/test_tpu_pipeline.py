@@ -1,0 +1,114 @@
+"""TPU pipeline stage + end-to-end parity tests against the CPU oracle.
+
+Mirrors the reference's stage-tap testing strategy (GpuDetector::Copy*To,
+apriltag_gpu.h:98-183): every intermediate of the device pipeline is compared
+against the oracle's intermediates. Runs on the CPU backend (conftest forces
+JAX_PLATFORMS=cpu with 8 virtual devices); small frames keep XLA compile
+times manageable.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ros_vision_tpu.apriltag import oracle as orc
+from ros_vision_tpu.apriltag.render import render_scene, simple_square_corners
+from ros_vision_tpu.ops import ccl, quadfit, threshold as thr
+
+W, H = 320, 160  # small test frames
+
+
+@pytest.fixture(scope="module")
+def scene():
+    img, placed = render_scene(
+        [3, 77], [simple_square_corners(80, 60, 34),
+                  simple_square_corners(220, 90, 40, angle_deg=25)],
+        W, H)
+    return img, placed
+
+
+def test_threshold_parity(scene):
+    img, _ = scene
+    decim = img[::2, ::2]
+    o_thr, _, _ = orc.adaptive_threshold(decim)
+    t_thr, _ = thr.adaptive_threshold(jnp.asarray(decim)[None])
+    assert np.array_equal(o_thr, np.asarray(t_thr[0]))
+
+
+def test_ccl_parity(scene):
+    img, _ = scene
+    decim = img[::2, ::2]
+    o_thr, _, _ = orc.adaptive_threshold(decim)
+    labels, _ = orc.connected_components(o_thr)
+    h, w = o_thr.shape
+    flat = np.arange(h * w).reshape(h, w)
+    canon = np.full(labels.max() + 1, 1 << 30, np.int64)
+    np.minimum.at(canon, labels.ravel(), flat.ravel())
+    o_canon = canon[labels]
+    t_labels, t_sizes = ccl.label_components(jnp.asarray(o_thr)[None])
+    t_labels = np.asarray(t_labels[0]).reshape(h, w)
+    mask = o_thr != 127
+    assert np.array_equal(o_canon[mask], t_labels[mask])
+    o_sz = np.bincount(labels.ravel())
+    t_sizes = np.asarray(t_sizes[0]).reshape(h, w)
+    assert np.array_equal(o_sz[labels][mask], t_sizes[mask])
+
+
+def test_quadfit_parity(scene):
+    img, _ = scene
+    ores = orc.OracleDetector().detect(img)
+    g = jnp.asarray(img)[None]
+    cfg = quadfit.QuadFitConfig(max_points=4096, max_segments=64,
+                                max_quads=8)
+
+    @jax.jit
+    def pipe(g):
+        decim = thr.decimate2(g)
+        t, _ = thr.adaptive_threshold(decim)
+        labels, sizes = ccl.label_components(t)
+        pts, counts = quadfit.boundary_points(t, labels, sizes, cfg)
+        out = quadfit.cluster_and_fit(pts, decim, cfg)
+        return counts, out["n_quads"], out["corners"]
+
+    counts, nq, corners = jax.tree_util.tree_map(np.asarray, pipe(g))
+    o_total = sum(len(v) for v in ores.clusters.values())
+    assert counts[0] == o_total
+    assert nq[0] == len(ores.quads)
+    oq = np.array(sorted(np.asarray(q).flatten().tolist()
+                         for q in ores.quads))
+    tq = np.array(sorted(corners[0, i].flatten().tolist()
+                         for i in range(nq[0])))
+    assert np.abs(oq - tq).max() < 1e-3
+
+
+@pytest.fixture(scope="module")
+def tpu_detector():
+    from ros_vision_tpu.apriltag.detector import TPUDetector, DetectorConfig
+    return TPUDetector(DetectorConfig(
+        width=W, height=H, max_points=4096, max_segments=64, max_quads=8,
+        fx=300.0, fy=300.0, cx=160.0, cy=80.0, estimate_pose=True))
+
+
+def test_end_to_end_parity(scene, tpu_detector):
+    img, _ = scene
+    ores = orc.OracleDetector(fx=300.0, fy=300.0, cx=160.0, cy=80.0,
+                              estimate_pose=True).detect(img)
+    dets = tpu_detector.detect(img)
+    assert [d.tag_id for d in dets] == [d.tag_id for d in ores.detections]
+    for d, o in zip(dets, ores.detections):
+        assert d.hamming == o.hamming == 0
+        assert np.abs(d.corners - o.corners).max() < 0.5
+        assert abs(d.decision_margin - o.decision_margin) < 2.0
+        assert np.abs(d.pose_t - o.pose_t).max() < 0.01
+
+
+def test_batched_detection(scene, tpu_detector):
+    img, _ = scene
+    img2, _ = render_scene([123], [simple_square_corners(160, 80, 36, 10)],
+                           W, H)
+    blank = np.full((H, W), 128, np.uint8)
+    batch = np.stack([img, img2, blank])
+    res = tpu_detector.detect(batch)
+    assert [d.tag_id for d in res[0]] == [3, 77]
+    assert [d.tag_id for d in res[1]] == [123]
+    assert res[2] == []
