@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1280x800 36h11 AprilTag detection throughput.
+
+Measures the full jitted TPU pipeline (gray -> detections+poses) in steady
+state: N queued invocations on device arrays with one final readback —
+the deployment pattern of a streaming vision pipeline (the reference
+equivalently overlaps its CUDA stream work, apriltag_gpu.cu:725-1097).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": x}
+
+Baseline reference point: the reference repo publishes no AprilTag pipeline
+FPS; its documented perf example is the YOLOv11 TensorRT detector at 285.63
+FPS on Jetson Orin (src/game_piece_detection/README.md:195) and the camera
+target of 100 fps @ 1280x800 (system_config.json). We report detection fps
+vs the 100 fps camera-rate target as vs_baseline.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ros_vision_tpu_jaxcache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from ros_vision_tpu.apriltag.detector import TPUDetector, DetectorConfig
+from ros_vision_tpu.apriltag.render import render_scene, simple_square_corners
+
+CAMERA_TARGET_FPS = 100.0  # 1280x800@100fps MJPG target (system_config.json)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    img, _ = render_scene(
+        [0, 42, 311, 100],
+        [simple_square_corners(300, 250, 90),
+         simple_square_corners(800, 400, 110, angle_deg=20),
+         simple_square_corners(450, 600, 70, angle_deg=-35),
+         simple_square_corners(1000, 600, 60, angle_deg=50)],
+        1280, 800, noise_sigma=1.0)
+
+    det = TPUDetector(DetectorConfig(
+        width=1280, height=800, fx=900.0, fy=900.0, cx=640.0, cy=400.0,
+        estimate_pose=True))
+
+    import jax.numpy as jnp
+    g = jnp.asarray(np.broadcast_to(img, (batch, 800, 1280)).copy())
+
+    # correctness gate: all 4 tags must decode with hamming 0 in every row
+    res = det.detect(np.asarray(g))
+    ids = sorted(d.tag_id for d in res[0])
+    assert ids == [0, 42, 100, 311], f"detection regression: {ids}"
+
+    # warmup
+    out = det._fn(g)
+    np.asarray(out["ok"]).sum()
+
+    t0 = time.time()
+    outs = [det._fn(g) for _ in range(iters)]
+    for o in outs:
+        o["ok"].block_until_ready()
+    _ = np.asarray(outs[-1]["ok"]).sum()
+    _ = np.asarray(outs[0]["ok"]).sum()
+    dt = (time.time() - t0) / iters
+    fps = batch / dt
+
+    print(json.dumps({
+        "metric": "apriltag_1280x800_36h11_detect_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / CAMERA_TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,8 +45,8 @@ class DetectorConfig:
     width: int = 1280
     height: int = 800
     family: str = "tag36h11"
-    max_points: int = 32768
-    max_segments: int = 512
+    max_points: int = 131072
+    max_segments: int = 1024
     max_quads: int = 64
     refine_edges: bool = True
     estimate_pose: bool = True

@@ -20,12 +20,56 @@ import jax.numpy as jnp
 from ros_vision_tpu.ops.decode import project
 
 
+def _inv3(m):
+    """Closed-form batched 3x3 inverse (adjugate / det)."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]
+    d = m[..., 1, 0]; e = m[..., 1, 1]; f = m[..., 1, 2]
+    g = m[..., 2, 0]; h = m[..., 2, 1]; i = m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], -1)], -2)
+    return adj / det[..., None, None]
+
+
+def _det3(m):
+    return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2]
+                            - m[..., 1, 2] * m[..., 2, 1])
+            - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2]
+                              - m[..., 1, 2] * m[..., 2, 0])
+            + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1]
+                              - m[..., 1, 1] * m[..., 2, 0]))
+
+
+def polar_rotation(m, iters=8):
+    """Nearest rotation matrix by Newton polar iteration
+    X <- (X + X^-T)/2 — closed-form 3x3 ops only. XLA's batched small-SVD
+    lowers to a slow host-style loop on TPU; this runs entirely on the VPU.
+    det<0 inputs (degenerate/garbage quad slots only, in practice) get a
+    z-axis reflection fix to return SOME proper rotation."""
+    nrm = jnp.sqrt((m * m).sum((-1, -2), keepdims=True) / 3.0)
+    x = m / jnp.where(nrm < 1e-20, 1e-20, nrm)
+
+    def body(_, x):
+        return 0.5 * (x + jnp.swapaxes(_inv3(x), -1, -2))
+
+    p = jax.lax.fori_loop(0, iters, body, x)
+    neg = (_det3(p) < 0)[..., None, None]
+    flip = jnp.where(neg & (jnp.arange(3) == 2)[None, :], -1.0, 1.0)
+    return p * flip
+
+
 def _orthogonal_iteration(v, obj, r0, t0, n_steps=30):
     """v (..., 4, 3) sight rays; obj (4, 3); r0 (..., 3, 3); t0 (..., 3)."""
     vv = (v[..., :, :, None] * v[..., :, None, :]) / \
         (v * v).sum(-1)[..., None, None]            # F_i (..., 4, 3, 3)
     eye = jnp.eye(3, dtype=v.dtype)
-    G = jnp.linalg.inv(eye - vv.mean(-3)) / v.shape[-2]
+    G = _inv3(eye - vv.mean(-3)) / v.shape[-2]
     p_mean = obj.mean(0)
     p_res = obj - p_mean                              # (4, 3)
 
@@ -37,12 +81,7 @@ def _orthogonal_iteration(v, obj, r0, t0, n_steps=30):
         q = jnp.einsum("...nij,...nj->...ni", vv, rp + t[..., None, :])
         q_mean = q.mean(-2, keepdims=True)
         m = jnp.einsum("...ni,nj->...ij", q - q_mean, p_res)
-        u, _s, vt = jnp.linalg.svd(m)
-        d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
-        fix = jnp.concatenate([jnp.ones_like(d)[..., None],
-                               jnp.ones_like(d)[..., None], d[..., None]],
-                              -1)
-        r_new = jnp.einsum("...ij,...j,...jk->...ik", u, fix, vt)
+        r_new = polar_rotation(m)
         return r_new, t
 
     r, t = jax.lax.fori_loop(0, n_steps, body, (r0, t0))
@@ -69,11 +108,7 @@ def _homography_init(H, fx, fy, cx, cy):
     c0 = jnp.stack([r00, r10, r20], -1) * s[..., None]
     c1 = jnp.stack([r01, r11, r21], -1) * s[..., None]
     c2 = jnp.cross(c0, c1)
-    r = jnp.stack([c0, c1, c2], -1)
-    u, _sv, vt = jnp.linalg.svd(r)
-    d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
-    fix = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], -1)
-    r = jnp.einsum("...ij,...j,...jk->...ik", u, fix, vt)
+    r = polar_rotation(jnp.stack([c0, c1, c2], -1))
     t = jnp.stack([tx, ty, tz], -1) * s[..., None]
     return r, t
 

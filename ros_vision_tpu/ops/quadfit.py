@@ -63,12 +63,15 @@ _COMBO_PAIRS = np.stack([
 
 @dataclasses.dataclass(frozen=True)
 class QuadFitConfig:
-    max_points: int = 32768      # K: boundary points kept per frame
-    max_segments: int = 512      # NSEG: blob-pair clusters per frame
+    max_points: int = 131072     # K: boundary points kept per frame
+    max_segments: int = 1024     # NSEG: blob-pair clusters per frame
     max_quads: int = 64          # NQ: quads emitted per frame
     tag_width: int = 4           # min tag width in decimated px (8/2 for 36h11)
     normal_border: bool = True
     reversed_border: bool = False
+    row_interleave: int = 16     # overflow fairness: candidate rows are
+    # visited in a strided order so that when the K cap overflows, dropped
+    # points spread across the whole image instead of truncating the bottom
 
 
 def fit_line_f32(m, n):
@@ -131,8 +134,14 @@ def boundary_points(threshim, labels, sizes, cfg: QuadFitConfig):
         gxs.append(dx * g)
         gys.append(dy * g)
 
+    ri = cfg.row_interleave
+    assert h % ri == 0
+
     def flat(lst):
-        return jnp.stack(lst, axis=1).reshape(b, -1)
+        x = jnp.stack(lst, axis=1)                      # (B, 4, H, W)
+        # strided row interleave: rows 0, ri, 2ri, ..., 1, ri+1, ...
+        x = x.reshape(b, 4, h // ri, ri, w).swapaxes(2, 3)
+        return x.reshape(b, -1)
 
     payload = {
         "key_lo": flat(los), "key_hi": flat(his),
