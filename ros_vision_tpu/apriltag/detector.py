@@ -47,7 +47,7 @@ class DetectorConfig:
     family: str = "tag36h11"
     max_points: int = 131072
     max_segments: int = 1024
-    max_quads: int = 64
+    max_quads: int = 128
     refine_edges: bool = True
     estimate_pose: bool = True
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)

@@ -1,0 +1,320 @@
+"""System launch: camera discovery + single-process pipeline orchestration.
+
+Behavioral parity with the reference's launch layer (ros_vision_launch):
+  - scan_for_cameras (utils.py:198-284): /dev/v4l/by-id serial discovery,
+    /dev/v4l/by-path port mapping, system_config usb_port overrides with
+    fail-fast on missing ports, HBVCAMxx fallback names for duplicate-serial
+    cameras, actionable errors when nothing is found.
+  - launch (launch_vision.py:156-343): per-camera config resolution, camera
+    capture threads pinned to sequential cores when performance
+    optimizations are enabled, measurement mode + timing CSV, optional bag
+    recording with {location}-templated topics, web viewer.
+
+Architectural difference (TPU-first): the reference spawns a process PAIR
+per camera; here all cameras feed ONE batched TPU pipeline through the
+native frame ring, so "launch" builds threads + one VisionNode instead of
+processes.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import re
+import time
+
+import numpy as np
+
+from ros_vision_tpu.config.loader import ConfigLoader
+from ros_vision_tpu.utils import rotation_utils
+
+log = logging.getLogger(__name__)
+
+BY_ID_PATH = "/dev/v4l/by-id"
+BY_PATH_PATH = "/dev/v4l/by-path"
+
+
+def scan_by_id(by_id_path: str = BY_ID_PATH) -> dict:
+    """serial -> video index, from by-id symlinks containing 'camera'."""
+    out = {}
+    if not os.path.isdir(by_id_path):
+        return out
+    for name in sorted(os.listdir(by_id_path)):
+        if "amera" not in name or not name.endswith("index0"):
+            continue
+        m = re.search(r"_([A-Za-z0-9]+)-video-index0$", name)
+        if not m:
+            continue
+        serial = m.group(1)
+        target = os.path.realpath(os.path.join(by_id_path, name))
+        vm = re.search(r"video(\d+)$", target)
+        if vm:
+            out[serial] = int(vm.group(1))
+    return out
+
+
+def scan_by_path(by_path_path: str = BY_PATH_PATH):
+    """(set of video indices, usb_port -> video index)."""
+    indices = set()
+    port_map = {}
+    if not os.path.isdir(by_path_path):
+        return indices, port_map
+    for name in sorted(os.listdir(by_path_path)):
+        if "video-index0" not in name:
+            continue
+        target = os.path.realpath(os.path.join(by_path_path, name))
+        vm = re.search(r"video(\d+)$", target)
+        if not vm:
+            continue
+        idx = int(vm.group(1))
+        indices.add(idx)
+        pm = re.search(r"usb-0:([\d.]+):", name)
+        if pm:
+            port_map[pm.group(1)] = idx
+    return indices, port_map
+
+
+def load_usb_port_overrides() -> dict:
+    """usb_port -> camera id from system_config (fail-fast on duplicates)."""
+    overrides = {}
+    for serial in ConfigLoader.get_all_camera_serials():
+        cam = ConfigLoader.get_camera_config(serial)
+        if cam and cam.usb_port:
+            if cam.usb_port in overrides:
+                raise RuntimeError(
+                    f"duplicate usb_port {cam.usb_port!r} for cameras "
+                    f"{overrides[cam.usb_port]!r} and {serial!r}")
+            overrides[cam.usb_port] = serial
+    return overrides
+
+
+def scan_for_cameras(by_id_path: str = BY_ID_PATH,
+                     by_path_path: str = BY_PATH_PATH) -> dict:
+    """identifier -> video index; same three-pass resolution as the
+    reference (overrides, by-id, HBVCAMxx fallback), fail-fast messages."""
+    by_id = scan_by_id(by_id_path)
+    indices, port_map = scan_by_path(by_path_path)
+    overrides = load_usb_port_overrides()
+
+    result = {}
+    covered = set()
+    for usb_port, cam_id in overrides.items():
+        if usb_port not in port_map:
+            raise RuntimeError(
+                f"FATAL: usb_port override for {cam_id!r} specifies port "
+                f"{usb_port!r} but no device found there. Available: "
+                f"{sorted(port_map)}")
+        result[cam_id] = port_map[usb_port]
+        covered.add(port_map[usb_port])
+    for serial, idx in by_id.items():
+        if idx not in covered:
+            result[serial] = idx
+            covered.add(idx)
+    for i, idx in enumerate(sorted(indices - covered), start=1):
+        result[f"HBVCAM{i:02d}"] = idx
+    if not result:
+        raise RuntimeError(
+            "No camera devices found! Scanned both /dev/v4l/by-id and "
+            "/dev/v4l/by-path. For by-id detection the device filename "
+            "must contain 'Camera'/'camera'.")
+    return result
+
+
+def get_config_data(cameras: dict) -> dict:
+    """identifier -> (video index, CameraConfig, ExtrinsicConfig); skips
+    cameras without config entries, warning like the reference."""
+    out = {}
+    for ident, idx in cameras.items():
+        cam = ConfigLoader.get_camera_config(ident)
+        if cam is None:
+            log.warning("camera %s has no system_config entry; skipping",
+                        ident)
+            continue
+        ext = ConfigLoader.get_extrinsic_config(cam.location)
+        out[ident] = (idx, cam, ext)
+    return out
+
+
+class VisionSystem:
+    """The running system: capture threads + frame pipe + vision node +
+    outputs. The single-process equivalent of launch_vision.py's node
+    graph."""
+
+    def __init__(self, measurement_mode: bool = False,
+                 timing_csv_path: str | None = None,
+                 enable_bag_recording: bool = False,
+                 enable_viewer: bool = True,
+                 enable_nt: bool = True,
+                 camera_map: dict | None = None,
+                 calibration_dir: str | None = None):
+        from ros_vision_tpu.apriltag.detector import (DetectorConfig,
+                                                      TPUDetector)
+        from ros_vision_tpu.runtime.camera import CameraPublisher, OpenCVCamera
+        from ros_vision_tpu.runtime.frame_pipe import FramePipe
+        from ros_vision_tpu.runtime.scheduler import apply_performance_config
+        from ros_vision_tpu.runtime.vision_node import (CameraChannel,
+                                                        VisionNode)
+
+        cameras = camera_map or scan_for_cameras()
+        cfgs = get_config_data(cameras)
+        if not cfgs:
+            raise RuntimeError("no configured cameras found")
+
+        idents = sorted(cfgs)
+        first = cfgs[idents[0]][1]
+        self.pipe = FramePipe(len(idents), first.height, first.width)
+
+        perf = ConfigLoader.get_performance_config()
+        self.publishers = []
+        channels = []
+        intrinsics = None
+        for i, ident in enumerate(idents):
+            idx, cam, ext = cfgs[ident]
+            calib = load_calibration(ident, calibration_dir)
+            if calib is not None and intrinsics is None:
+                intrinsics = calib
+
+            def to_gray(frame):
+                import cv2
+                return cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+
+            pub = CameraPublisher(OpenCVCamera(), cam, device=idx,
+                                  ring=self.pipe.rings[i], to_gray=to_gray)
+            self.publishers.append(pub)
+            if perf.enable_optimizations:
+                apply_performance_config(perf, core_index=i)
+
+            rot = np.asarray(ext.rotation) if ext else \
+                rotation_utils.camera_to_robot()
+            off = np.asarray(ext.offset) if ext else np.zeros(3)
+            channels.append(CameraChannel(
+                location=cam.location, extrinsic_rotation=rot,
+                extrinsic_offset=off))
+
+        fx, fy, cx, cy, dist = intrinsics or (
+            600.0, 600.0, first.width / 2, first.height / 2, (0.0,) * 5)
+        det_cfg = DetectorConfig(
+            width=first.width, height=first.height,
+            fx=fx, fy=fy, cx=cx, cy=cy, dist=tuple(dist),
+            estimate_pose=True)
+        self.detector = TPUDetector(det_cfg)
+
+        tag_sender = None
+        if enable_nt:
+            nt_cfg = ConfigLoader.get_network_tables_config()
+            try:
+                from ros_vision_tpu.runtime.nt4 import AprilTagDataSender
+                tag_sender = AprilTagDataSender(
+                    "april_tags", nt_cfg.table_address, nt_cfg.table_name)
+            except Exception as e:
+                log.warning("NT4 connection failed (%s); continuing", e)
+
+        self.viewer = None
+        if enable_viewer:
+            from ros_vision_tpu.runtime.viewer import ImageStreamServer
+            self.viewer = ImageStreamServer()
+            for ch in channels:
+                ch.image_publisher = self.viewer.publish
+
+        self.bag = None
+        if enable_bag_recording:
+            from ros_vision_tpu.runtime.bags import BagWriter
+            bcfg = ConfigLoader.get_bag_recording_config()
+            out = os.path.join(bcfg.output_directory,
+                               time.strftime("bag_%Y%m%d_%H%M%S"))
+            self.bag = BagWriter(out, max_bytes=int(bcfg.max_bag_size),
+                                 max_duration_s=bcfg.max_duration)
+
+        self.node = VisionNode(self.detector, channels,
+                               tag_sender=tag_sender,
+                               measurement_mode=measurement_mode,
+                               timing_csv_path=timing_csv_path)
+        self.channels = channels
+        self._running = False
+
+    def start(self) -> None:
+        for pub in self.publishers:
+            if pub.init():
+                pub.start()
+        self._running = True
+
+    def spin_once(self):
+        frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
+        results = self.node.process_batch(
+            frames, [s / 1e9 for s in stamps])
+        if self.bag is not None:
+            for ch, frame in zip(self.channels, frames):
+                self.bag.write_image(
+                    f"cameras/{ch.location}/image_raw/compressed", frame)
+        return results
+
+    def spin(self) -> None:
+        while self._running:
+            self.spin_once()
+
+    def stop(self) -> None:
+        self._running = False
+        for pub in self.publishers:
+            pub.stop()
+        self.node.stop()
+        if self.bag is not None:
+            self.bag.close()
+        if self.viewer is not None:
+            self.viewer.close()
+
+
+def load_calibration(serial: str, calibration_dir: str | None = None):
+    """Load calibrationmatrix_<serial>.json (P2 output schema:
+    camera_matrix/distortion_coefficients/rms)."""
+    import json
+    dirs = [calibration_dir] if calibration_dir else []
+    dirs.append(os.path.join(os.path.dirname(__file__), "config", "data",
+                             "calibration"))
+    for d in dirs:
+        if d is None:
+            continue
+        path = os.path.join(d, f"calibrationmatrix_{serial}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+            m = np.asarray(data["camera_matrix"], np.float64)
+            dist = np.asarray(
+                data.get("distortion_coefficients",
+                         data.get("disto", [[0] * 5]))).ravel()[:5]
+            return (float(m[0, 0]), float(m[1, 1]), float(m[0, 2]),
+                    float(m[1, 2]), tuple(dist))
+    return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Launch the TPU vision system (start_vision.bsh / "
+                    "launch_vision.py equivalent)")
+    ap.add_argument("--log-level", default="info")
+    ap.add_argument("--measurement-mode", action="store_true")
+    ap.add_argument("--timing-csv-path")
+    ap.add_argument("--enable-bag-recording", action="store_true")
+    ap.add_argument("--no-viewer", action="store_true")
+    ap.add_argument("--no-nt", action="store_true")
+    ap.add_argument("--config")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=args.log_level.upper())
+    if args.config:
+        ConfigLoader.set_config_file_path(args.config)
+    system = VisionSystem(
+        measurement_mode=args.measurement_mode,
+        timing_csv_path=args.timing_csv_path,
+        enable_bag_recording=args.enable_bag_recording,
+        enable_viewer=not args.no_viewer,
+        enable_nt=not args.no_nt)
+    system.start()
+    try:
+        system.spin()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        system.stop()
+
+
+if __name__ == "__main__":
+    main()

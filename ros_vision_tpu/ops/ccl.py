@@ -88,7 +88,7 @@ def _flip_reset(reset: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "sweep_iters"))
 def label_components(threshim: jnp.ndarray, max_iters: int = 32,
-                     sweep_iters: int = 8):
+                     sweep_iters: int = 1):
     """Label same-value components of a {0,127,255} image.
 
     threshim: (B, H, W) uint8.

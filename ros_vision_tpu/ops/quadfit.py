@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ros_vision_tpu.ops import scan
 from ros_vision_tpu.ops import segments as segs
 
 MIN_BLOB_PIXELS = 25
@@ -65,7 +66,7 @@ _COMBO_PAIRS = np.stack([
 class QuadFitConfig:
     max_points: int = 131072     # K: boundary points kept per frame
     max_segments: int = 1024     # NSEG: blob-pair clusters per frame
-    max_quads: int = 64          # NQ: quads emitted per frame
+    max_quads: int = 128         # NQ: quads emitted per frame
     tag_width: int = 4           # min tag width in decimated px (8/2 for 36h11)
     normal_border: bool = True
     reversed_border: bool = False
@@ -217,12 +218,16 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     valid_pt = seg2 < nseg
     seg = seg2
 
-    # position within segment + segment start/size per point
+    # position within segment + segment start/size per point: build a
+    # (B, NSEG1) start table by scatter, broadcast back by gather (cheaper
+    # on TPU than a log-depth cummax scan over K)
     i_global = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
     new_seg = jnp.concatenate(
         [jnp.ones((b, 1), jnp.bool_), seg[:, 1:] != seg[:, :-1]], axis=1)
-    start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_seg, i_global, 0), axis=1)
+    start_table = jnp.zeros((b, nseg1), jnp.int32)
+    start_table = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        start_table, jnp.where(new_seg, seg, nseg), i_global)
+    start = segs.take1(start_table, seg)
     pos = i_global - start
     sz_pt = segs.take1(segs.batched_segment_sum(
         valid_pt.astype(jnp.int32), seg, nseg1), seg)
@@ -254,7 +259,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     wgt = jnp.where(valid_pt, wgt, 0.0)
     mom = jnp.stack([wgt * xc, wgt * yc, wgt * xc * xc, wgt * xc * yc,
                      wgt * yc * yc, wgt], axis=-1)  # (B, K, 6)
-    pref = segs.segmented_cumsum(mom, new_seg)
+    pref = scan.segmented_cumsum_from_starts(mom, start)
 
     # helpers: prefix lookup by position within this point's segment
     def pref_at(position):
@@ -308,9 +313,10 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     pnew = jnp.concatenate(
         [jnp.ones((b, 1), jnp.bool_), pseg_s[:, 1:] != pseg_s[:, :-1]],
         axis=1)
-    pstart = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(pnew, i_global, 0), axis=1)
-    prank = i_global - pstart
+    pstart_table = jnp.zeros((b, nseg1), jnp.int32)
+    pstart_table = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        pstart_table, jnp.where(pnew, pseg_s, nseg), i_global)
+    prank = i_global - segs.take1(pstart_table, pseg_s)
     # threshold value = error of the (MAX_NMAXIMA)-th ranked peak (0-based
     # rank 10 = 11th largest); keep strictly greater (apriltag semantics)
     thresh = jnp.full((b, nseg1), -jnp.inf, jnp.float32)
@@ -323,8 +329,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
                                   errs > segs.take1(thresh, seg), True)
 
     nmax = segs.batched_segment_sum(qualify.astype(jnp.int32), seg, nseg1)
-    qrank = segs.segmented_cumsum(
-        qualify.astype(jnp.int32), new_seg).astype(jnp.int32) - 1
+    qrank = scan.segmented_cumsum_from_starts(
+        qualify.astype(jnp.float32), start).astype(jnp.int32) - 1
     # scatter maxima positions into (B, NSEG1, 10)
     slots = jnp.full((b, nseg1 * MAX_NMAXIMA + 1), 0, jnp.int32)
     ok_slot = qualify & (qrank < MAX_NMAXIMA)
@@ -453,21 +459,20 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
         seg_quad_ok = seg_quad_ok & (jnp.abs(cosdt) <= COS_CRITICAL_RAD) & \
             (d1[..., 0] * d2[..., 1] >= d1[..., 1] * d2[..., 0])
 
-    # ---- compact quads to NQ slots --------------------------------------
+    # ---- compact quads to NQ slots, largest-area first -------------------
+    # Under adversarial noise there can be more candidate quads than slots
+    # (the reference has no cap and decodes them all); prioritizing by area
+    # keeps real tags, which junk clusters rarely out-size.
     nq = cfg.max_quads
-    qpos = jnp.cumsum(seg_quad_ok.astype(jnp.int32), axis=1) - 1
-    n_quads = jnp.minimum(qpos[:, -1] + 1, nq)
-    okq = seg_quad_ok & (qpos < nq)
-    qidx = jnp.where(okq, qpos, nq)
-    out_c = jnp.zeros((b, nq + 1, 4, 2), jnp.float32)
-    out_c = jax.vmap(lambda t, ix, v: t.at[ix].set(v))(out_c, qidx, corners)
-    quad_valid = jnp.zeros((b, nq + 1), jnp.bool_)
-    quad_valid = jax.vmap(lambda t, ix, v: t.at[ix].set(v))(
-        quad_valid, qidx, seg_quad_ok)
+    prio = jnp.where(seg_quad_ok, area, -1.0)
+    top_prio, top_idx = jax.lax.top_k(prio, nq)           # (B, NQ)
+    out_c = jnp.take_along_axis(corners, top_idx[..., None, None], axis=1)
+    quad_valid = top_prio > 0
+    n_quads = quad_valid.sum(axis=1)
 
     return {
-        "corners": out_c[:, :nq],
-        "quad_valid": quad_valid[:, :nq],
+        "corners": out_c,
+        "quad_valid": quad_valid,
         "n_quads": n_quads,
         # stage taps
         "seg": seg, "pos": pos, "errs": errs, "is_peak": is_peak,

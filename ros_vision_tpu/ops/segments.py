@@ -21,8 +21,9 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
     Equivalent role to cub::DeviceSelect::If (apriltag_gpu.cu:788-802), with
     a hard cap instead of a device-side count.
     """
+    from ros_vision_tpu.ops.scan import cumsum_mxu
     b, m = valid.shape
-    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    pos = cumsum_mxu(valid.astype(jnp.float32)).astype(jnp.int32) - 1
     counts = jnp.minimum(pos[:, -1] + 1, k)
     ok = valid & (pos < k)
     idx = jnp.where(ok, pos, k)  # k = trash slot

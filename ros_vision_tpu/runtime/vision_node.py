@@ -1,0 +1,158 @@
+"""The vision node: frames -> TPU detection -> robot-frame poses -> outputs.
+
+Equivalent of the reference's ApriltagsDetector node
+(apriltags_cuda_detector.cu:382-557 imageCallback) — but ONE node serving ALL
+cameras: the per-camera processes of the reference become rows of the
+batched TPU pipeline. Per frame batch it:
+  - runs the jitted detector (detect + decode + pose on device),
+  - transforms each camera's detections to the robot frame with that
+    camera's extrinsics (R @ p + t, apriltags_cuda_detector.cu:595-599),
+  - sorts detections closest-first (:459-462),
+  - publishes: NT4 double-array [t, id, x, y, z]* + protobuf (:465-502),
+    robot-frame and camera-frame TagDetectionArray messages, annotated
+    images via the publisher queue,
+  - optionally logs a per-frame timing CSV in the reference's measurement
+    format (:526-593).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ros_vision_tpu.msg.types import (TagDetectionArrayMsg,
+                                      encode_apriltag_list_proto)
+from ros_vision_tpu.runtime.publisher_queue import PublisherQueue
+from ros_vision_tpu.runtime.timing import TimingLogger
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CameraChannel:
+    location: str
+    extrinsic_rotation: np.ndarray     # (3, 3) camera->robot
+    extrinsic_offset: np.ndarray       # (3,)
+    image_publisher: Optional[Callable] = None       # annotated frames
+    pose_publisher: Optional[Callable] = None        # robot-frame array
+    pose_camera_publisher: Optional[Callable] = None # camera-frame array
+
+
+class VisionNode:
+    def __init__(self, detector, channels: list,
+                 tag_sender=None, measurement_mode: bool = False,
+                 timing_csv_path: str | None = None):
+        """detector: TPUDetector; channels: list[CameraChannel] — channel i
+        consumes batch row i."""
+        self.detector = detector
+        self.channels = channels
+        self.tag_sender = tag_sender
+        self.timing = TimingLogger(timing_csv_path) if measurement_mode \
+            else None
+        self._queues = {}
+        for ch in channels:
+            if ch.image_publisher is not None:
+                self._queues[ch.location] = PublisherQueue(
+                    ch.image_publisher, max_queue_size=1,
+                    name=f"imgpub_{ch.location}")
+
+    def transform_camera_to_robot(self, ch: CameraChannel,
+                                  p_cam: np.ndarray) -> np.ndarray:
+        return ch.extrinsic_rotation @ np.asarray(p_cam) + \
+            ch.extrinsic_offset
+
+    def process_batch(self, frames: np.ndarray, capture_stamps=None):
+        """frames (B, H, W) uint8 -> per-camera detection lists (robot
+        frame), publishing side effects included. Returns list of
+        (detections, robot_positions)."""
+        t_recv = time.monotonic()
+        stamps = capture_stamps or [time.time()] * len(self.channels)
+
+        t0 = time.monotonic()
+        batch_dets = self.detector.detect(frames)
+        det_time = time.monotonic() - t0
+        if frames.ndim == 2:
+            batch_dets = [batch_dets]
+
+        results = []
+        for i, (ch, dets) in enumerate(zip(self.channels, batch_dets)):
+            robot_pos = []
+            for d in dets:
+                if d.pose_t is not None:
+                    robot_pos.append(self.transform_camera_to_robot(
+                        ch, d.pose_t))
+                else:
+                    robot_pos.append(np.zeros(3))
+            # closest-first ordering (detection_sorting_test.cu behavior)
+            order = np.argsort([np.linalg.norm(p) for p in robot_pos]) \
+                if robot_pos else []
+            dets = [dets[j] for j in order]
+            robot_pos = [robot_pos[j] for j in order]
+
+            t_nt0 = time.monotonic()
+            if self.tag_sender is not None and dets:
+                flat = []
+                for d, p in zip(dets, robot_pos):
+                    flat += [float(stamps[i]), float(d.tag_id),
+                             float(p[0]), float(p[1]), float(p[2])]
+                self.tag_sender.send_value(flat)
+                self.tag_sender.send_protobuf(
+                    encode_apriltag_list_proto(dets, stamps[i]))
+            nt_time = time.monotonic() - t_nt0
+
+            t_p0 = time.monotonic()
+            if ch.pose_publisher is not None:
+                ch.pose_publisher(TagDetectionArrayMsg.from_poses(
+                    [d.tag_id for d in dets], robot_pos,
+                    stamps[i], ch.location))
+            if ch.pose_camera_publisher is not None:
+                ch.pose_camera_publisher(TagDetectionArrayMsg.from_poses(
+                    [d.tag_id for d in dets],
+                    [d.pose_t if d.pose_t is not None else np.zeros(3)
+                     for d in dets], stamps[i], ch.location))
+            pub_time = time.monotonic() - t_p0
+
+            t_i0 = time.monotonic()
+            q = self._queues.get(ch.location)
+            if q is not None:
+                q.enqueue(self.annotate(frames[i] if frames.ndim == 3
+                                        else frames, dets))
+            img_time = time.monotonic() - t_i0
+
+            if self.timing is not None:
+                now = time.time()
+                latency = now - stamps[i] if stamps[i] < now else 0.0
+                self.timing.record(
+                    latency_us=latency * 1e6, det_time_us=det_time * 1e6,
+                    publish_image_us=img_time * 1e6,
+                    publish_pose_us=pub_time * 1e6,
+                    networktables_us=nt_time * 1e6,
+                    processing_time_us=(time.monotonic() - t_recv) * 1e6)
+            results.append((dets, robot_pos))
+        return results
+
+    @staticmethod
+    def annotate(gray: np.ndarray, dets) -> np.ndarray:
+        """Draw detection outlines + ids (the reference publishes annotated
+        frames for Foxglove/web viewing)."""
+        try:
+            import cv2
+        except ImportError:
+            return gray
+        img = cv2.cvtColor(np.asarray(gray), cv2.COLOR_GRAY2BGR)
+        for d in dets:
+            pts = np.asarray(d.corners, np.int32).reshape(-1, 1, 2)
+            cv2.polylines(img, [pts], True, (0, 255, 0), 2)
+            c = tuple(np.asarray(d.center, np.int32))
+            cv2.putText(img, str(d.tag_id), c, cv2.FONT_HERSHEY_SIMPLEX,
+                        0.8, (0, 0, 255), 2)
+        return img
+
+    def stop(self):
+        for q in self._queues.values():
+            q.stop()
+        if self.timing is not None:
+            self.timing.close()

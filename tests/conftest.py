@@ -7,7 +7,9 @@ the CPU backend and run in interpret mode.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the axon TPU plugin sets
+# JAX_PLATFORMS=axon globally; tests must not claim the chip)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/ros_vision_tpu_jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

