@@ -68,9 +68,11 @@ def scan_by_path(by_path_path: str = BY_PATH_PATH):
             continue
         idx = int(vm.group(1))
         indices.add(idx)
-        pm = re.search(r"usb-0:([\d.]+):", name)
+        # by-path name ...usb-<bus>:<port.chain>:<config>... ; the config
+        # usb_port field is "<bus>:<port.chain>" (e.g. "0:3.1")
+        pm = re.search(r"usb-(\d+):([\d.]+):", name)
         if pm:
-            port_map[pm.group(1)] = idx
+            port_map[f"{pm.group(1)}:{pm.group(2)}"] = idx
     return indices, port_map
 
 

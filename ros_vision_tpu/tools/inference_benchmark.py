@@ -58,6 +58,12 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--image", help="benchmark image (else random input)")
     ap.add_argument("--csv", help="write per-iteration CSV")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--streaming", action="store_true",
+                    help="queued-execution throughput (per-call sync off): "
+                         "the deployment pattern for a continuous camera "
+                         "stream; per-iteration latency stats are not "
+                         "reported in this mode")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,9 +74,11 @@ def main(argv=None):
     if args.image:
         import cv2
         inp = m.preprocess(cv2.imread(args.image))
+        inp = np.broadcast_to(inp, (args.batch,) + inp.shape[1:]).copy()
     else:
         inp = np.random.default_rng(0).uniform(
-            0, 1, (1, args.img_size, args.img_size, 3)).astype(np.float32)
+            0, 1, (args.batch, args.img_size, args.img_size, 3)
+        ).astype(np.float32)
 
     import jax.numpy as jnp
     dev_inp = jnp.asarray(inp)
@@ -79,6 +87,20 @@ def main(argv=None):
         out = m.infer(dev_inp)
     jax.block_until_ready(out["boxes"])
     _ = np.asarray(out["valid"]).sum()
+
+    if args.streaming:
+        t0 = time.perf_counter()
+        outs = [m.infer(dev_inp) for _ in range(args.iterations)]
+        for o in outs:
+            o["valid"].block_until_ready()
+        _ = np.asarray(outs[-1]["valid"]).sum()
+        _ = np.asarray(outs[0]["valid"]).sum()
+        dt = (time.perf_counter() - t0) / args.iterations
+        fps = args.batch / dt
+        print(f"Streaming throughput: batch {args.batch}, "
+              f"{dt * 1e3:.2f} ms/batch, {dt * 1e3 / args.batch:.3f} "
+              f"ms/image -> {fps:.2f} FPS")
+        return fps
 
     infer_ms, post_ms, total_ms = [], [], []
     for _ in range(args.iterations):

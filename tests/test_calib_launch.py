@@ -1,0 +1,187 @@
+"""Calibration + launch-layer tests.
+
+Extrinsic solver: synthetic two-camera rig with known ground-truth
+extrinsics must be recovered from pairwise tag observations (the loss of
+solver.py:219-260). Launch discovery: fake /dev/v4l trees exercise the
+by-id / by-path / usb_port-override resolution (utils.py:198-284).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ros_vision_tpu.calib.extrinsic import (CameraGuess, collect_pairs,
+                                            solve_extrinsics)
+from ros_vision_tpu.utils import rotation_utils as ru
+
+
+def _make_frameset(true_params, n_tags=40, seed=0):
+    """Tags at random robot-frame positions observed by both cameras."""
+    rng = np.random.default_rng(seed)
+    frameset = {}
+    cams = {}
+    for cam_id, (angles, trans) in true_params.items():
+        R = ru.compose_rotations_xyz(*angles) @ ru.camera_to_robot()
+        cams[cam_id] = (R, np.asarray(trans))
+    for i in range(n_tags):
+        p_robot = rng.uniform([1.0, -2.0, 0.3], [4.0, 2.0, 1.5])
+        recs = []
+        for cam_id, (R, t) in cams.items():
+            p_cam = R.T @ (p_robot - t)   # invert robot = R p_cam + t
+            recs.append({"cam_id": cam_id, "translation": p_cam})
+        frameset[i] = {100 + i: recs}
+    return frameset
+
+
+def test_extrinsic_solver_recovers_truth():
+    true_params = {
+        "camA": ((0.0, 0.0, 0.0), (0.0, 0.2, 0.5)),
+        "camB": ((2.0, -3.0, 25.0), (0.1, -0.3, 0.4)),
+    }
+    frameset = _make_frameset(true_params)
+    guesses = {
+        "camA": CameraGuess((0.0, 0.0, 0.0), (0.0, 0.2, 0.5),
+                            adjustable=False),   # anchor camera
+        "camB": CameraGuess((0.0, 0.0, 15.0), (0.0, 0.0, 0.3)),
+    }
+    result = solve_extrinsics(frameset, guesses, num_iterations=2500,
+                              learning_rate=3e-2)
+    want_R = ru.compose_rotations_xyz(2.0, -3.0, 25.0) @ ru.camera_to_robot()
+    got_R = np.asarray(result["camB"]["rotation"])
+    ang_err = np.degrees(np.arccos(np.clip(
+        (np.trace(got_R @ want_R.T) - 1) / 2, -1, 1)))
+    off_err = np.abs(np.asarray(result["camB"]["offset"])
+                     - [0.1, -0.3, 0.4]).max()
+    assert ang_err < 1.0, ang_err
+    assert off_err < 0.02, off_err
+
+
+def test_collect_pairs_requires_two_views():
+    frameset = {0: {5: [{"cam_id": "a", "translation": [0, 0, 1]}]}}
+    with pytest.raises(ValueError):
+        collect_pairs(frameset, ["a", "b"])
+
+
+def _fake_v4l(tmp_path, by_id_entries, by_path_entries):
+    by_id = tmp_path / "by-id"
+    by_path = tmp_path / "by-path"
+    dev = tmp_path / "dev"
+    for d in (by_id, by_path, dev):
+        d.mkdir(exist_ok=True)
+    for name, idx in by_id_entries.items():
+        target = dev / f"video{idx}"
+        target.touch()
+        (by_id / name).symlink_to(target)
+    for name, idx in by_path_entries.items():
+        target = dev / f"video{idx}"
+        if not target.exists():
+            target.touch()
+        (by_path / name).symlink_to(target)
+    return str(by_id), str(by_path)
+
+
+def test_scan_for_cameras_by_id(tmp_path):
+    from ros_vision_tpu import launch
+    by_id, by_path = _fake_v4l(
+        tmp_path,
+        {"usb-Arducam_Camera_cam14-video-index0": 0,
+         "usb-Arducam_Camera_199-video-index0": 2},
+        {"pci-0000:00:14.0-usb-0:2:1.0-video-index0": 0,
+         "pci-0000:00:14.0-usb-0:3:1.0-video-index0": 2})
+    result = launch.scan_for_cameras(by_id, by_path)
+    assert result == {"cam14": 0, "199": 2}
+
+
+def test_scan_for_cameras_fallback_names(tmp_path):
+    from ros_vision_tpu import launch
+    by_id, by_path = _fake_v4l(
+        tmp_path, {},
+        {"pci-x-usb-0:2:1.0-video-index0": 4,
+         "pci-x-usb-0:3:1.0-video-index0": 6})
+    result = launch.scan_for_cameras(by_id, by_path)
+    assert result == {"HBVCAM01": 4, "HBVCAM02": 6}
+
+
+def test_scan_for_cameras_usb_override(tmp_path):
+    from ros_vision_tpu import launch
+    from ros_vision_tpu.config.loader import ConfigLoader
+    cfg = {"camera_mounted_positions": {
+        "my_cam": {"location": "center_front", "format": "MJPG",
+                   "height": 400, "width": 640, "frame_rate": 30,
+                   "api_preference": "ANY", "usb_port": "0:3"}}}
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    ConfigLoader.set_config_file_path(str(p))
+    try:
+        by_id, by_path = _fake_v4l(
+            tmp_path, {"usb-Foo_Camera_SN1-video-index0": 0},
+            {"pci-x-usb-0:3:1.0-video-index0": 2})
+        result = launch.scan_for_cameras(by_id, by_path)
+        assert result["my_cam"] == 2
+        assert result["SN1"] == 0
+        # missing port fails fast with an actionable message
+        cfg["camera_mounted_positions"]["my_cam"]["usb_port"] = "9:9.9"
+        p.write_text(json.dumps(cfg))
+        ConfigLoader.reload_config()
+        with pytest.raises(RuntimeError, match="usb_port override"):
+            launch.scan_for_cameras(by_id, by_path)
+    finally:
+        ConfigLoader.set_config_file_path(None)
+        ConfigLoader.reload_config()
+
+
+def test_scan_no_cameras_raises(tmp_path):
+    from ros_vision_tpu import launch
+    with pytest.raises(RuntimeError, match="No camera devices"):
+        launch.scan_for_cameras(str(tmp_path / "nope1"),
+                                str(tmp_path / "nope2"))
+
+
+def test_load_calibration(tmp_path):
+    from ros_vision_tpu.launch import load_calibration
+    data = {"camera_matrix": [[900.0, 0, 640], [0, 905.0, 400], [0, 0, 1]],
+            "distortion_coefficients": [[-0.1, 0.01, 0.0, 0.0, 0.001]],
+            "rms": 0.3}
+    (tmp_path / "calibrationmatrix_cam14.json").write_text(json.dumps(data))
+    fx, fy, cx, cy, dist = load_calibration("cam14", str(tmp_path))
+    assert (fx, fy, cx, cy) == (900.0, 905.0, 640.0, 400.0)
+    assert dist[0] == -0.1
+    assert load_calibration("missing", str(tmp_path)) is None
+
+
+def test_yolo_output_contract():
+    import jax.numpy as jnp
+    from ros_vision_tpu.models.infer import ModelInference
+    m = ModelInference(num_classes=3, scale="n", img_size=128,
+                       dtype=jnp.float32)
+    assert m.output_shape == (1, 7, 336)   # (4+nc, sum((128/s)^2))
+    out = m.infer(np.zeros((1, 128, 128, 3), np.float32))
+    assert out["boxes"].shape == (1, 100, 4)
+    assert out["valid"].dtype == bool
+
+
+def test_data_collector_mock(tmp_path):
+    pytest.importorskip("cv2")
+    from ros_vision_tpu.calib.data_collector import (collect_framesets,
+                                                     load_framesets)
+
+    class FakeCam:
+        def __init__(self, val):
+            self.val = val
+
+        def read(self):
+            return np.full((8, 8), self.val, np.uint8)
+
+        def release(self):
+            pass
+
+    out = str(tmp_path / "caps")
+    n = collect_framesets(out, camera_map={"a": 0, "b": 1},
+                          rate_hz=100.0, duration_s=0.05,
+                          camera_factory=lambda cid, dev: FakeCam(
+                              50 if cid == "a" else 200))
+    assert n >= 1
+    sets = load_framesets(out)
+    assert set(sets[0].keys()) == {"a", "b"}
+    assert sets[0]["a"][0, 0] == 50
