@@ -50,6 +50,9 @@ class DetectorConfig:
     max_quads: int = 128
     refine_edges: bool = True
     estimate_pose: bool = True
+    use_pallas_threshold: bool = False   # fused Pallas kernel for the
+    # threshold stage (ops/threshold_pallas.py); off by default — on the
+    # current relay-attached chip the XLA path measures slightly faster
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -82,8 +85,14 @@ class TPUDetector:
     # ---- the jitted pipeline --------------------------------------------
     def _detect_device(self, gray: jnp.ndarray):
         cfg = self.config
-        decim = thr.decimate2(gray)
-        threshim, _ = thr.adaptive_threshold(decim)
+        if cfg.use_pallas_threshold:
+            from ros_vision_tpu.ops.threshold_pallas import (
+                adaptive_threshold_fused)
+            decim, threshim = adaptive_threshold_fused(
+                gray, interpret=jax.default_backend() not in ("tpu", "axon"))
+        else:
+            decim = thr.decimate2(gray)
+            threshim, _ = thr.adaptive_threshold(decim)
         labels, sizes = ccl.label_components(threshim)
         pts, _counts = quadfit.boundary_points(threshim, labels, sizes,
                                                self._qcfg)

@@ -1,0 +1,87 @@
+"""Unit tests for the TPU op primitives (scan, segments, Pallas threshold,
+pose math)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ros_vision_tpu.ops import scan, segments as segs
+
+
+def test_cumsum_mxu_exact_counts():
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 2, (2, 5000)).astype(np.float32)
+    got = np.asarray(scan.cumsum_mxu(jnp.asarray(v)))
+    want = np.cumsum(v, axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_cumsum_mxu_float_accuracy():
+    rng = np.random.default_rng(1)
+    v = rng.normal(0, 10, (1, 3, 4096)).astype(np.float32)
+    got = np.asarray(scan.cumsum_mxu(jnp.asarray(v)))
+    want = np.cumsum(v.astype(np.float64), axis=-1)
+    assert np.abs(got - want).max() < 1e-2
+
+
+def test_segmented_cumsum_from_starts():
+    rng = np.random.default_rng(2)
+    k = 1024
+    v = rng.normal(size=(1, k, 3)).astype(np.float32)
+    starts_idx = np.zeros((1, k), np.int32)
+    seg_bounds = sorted(rng.choice(np.arange(1, k), 7, replace=False))
+    bounds = [0] + list(seg_bounds) + [k]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        starts_idx[0, a:b] = a
+    got = np.asarray(scan.segmented_cumsum_from_starts(
+        jnp.asarray(v), jnp.asarray(starts_idx)))
+    want = np.zeros_like(v)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        want[0, a:b] = np.cumsum(v[0, a:b], axis=0)
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_compact():
+    valid = jnp.asarray([[False, True, False, True, True, False, True]])
+    payload = {"x": jnp.arange(7)[None] * 10}
+    out, counts = segs.compact(valid, payload, k=3,
+                               fill={"x": jnp.int32(-1)})
+    assert counts[0] == 3
+    assert np.asarray(out["x"][0]).tolist() == [10, 30, 40]  # first K kept
+
+
+def test_segment_ids():
+    lo = jnp.asarray([[1, 1, 2, 2, 2, 9]])
+    hi = jnp.asarray([[5, 5, 5, 6, 6, 9]])
+    valid = jnp.asarray([[True] * 5 + [False]])
+    seg = segs.segment_ids_from_sorted_keys(lo, hi, valid=valid,
+                                            max_segments=4)
+    assert np.asarray(seg[0]).tolist() == [0, 0, 1, 2, 2, 4]
+
+
+def test_pallas_threshold_interpret():
+    from ros_vision_tpu.apriltag import oracle as orc
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops.threshold_pallas import adaptive_threshold_fused
+    img, _ = render_scene([7], [simple_square_corners(80, 60, 34)],
+                          320, 160, noise_sigma=5)
+    o_thr, _, _ = orc.adaptive_threshold(img[::2, ::2])
+    d, t = adaptive_threshold_fused(jnp.asarray(img)[None], interpret=True)
+    assert np.array_equal(np.asarray(d[0]), img[::2, ::2])
+    assert np.array_equal(np.asarray(t[0]), o_thr)
+
+
+def test_polar_rotation():
+    from ros_vision_tpu.ops.pose import polar_rotation
+    rng = np.random.default_rng(3)
+    # noisy near-rotations -> nearest rotation
+    from scipy.spatial.transform import Rotation
+    R = Rotation.random(8, random_state=1).as_matrix().astype(np.float32)
+    noisy = R + rng.normal(0, 0.05, R.shape).astype(np.float32)
+    P = np.asarray(polar_rotation(jnp.asarray(noisy)))
+    # orthonormal, det +1, close to the original
+    for i in range(8):
+        assert np.abs(P[i] @ P[i].T - np.eye(3)).max() < 1e-4
+        assert abs(np.linalg.det(P[i]) - 1) < 1e-4
+        assert np.abs(P[i] - R[i]).max() < 0.15
