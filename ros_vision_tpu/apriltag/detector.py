@@ -53,6 +53,9 @@ class DetectorConfig:
     use_pallas_threshold: bool = False   # fused Pallas kernel for the
     # threshold stage (ops/threshold_pallas.py); off by default — on the
     # current relay-attached chip the XLA path measures slightly faster
+    use_pallas_ccl: bool | None = None   # VMEM propagation kernel for CCL
+    # (ops/ccl_pallas.py, ~2x on TPU); None = auto (on for TPU backends,
+    # off for CPU where interpret-mode sweeps would crawl)
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -93,7 +96,13 @@ class TPUDetector:
         else:
             decim = thr.decimate2(gray)
             threshim, _ = thr.adaptive_threshold(decim)
-        labels, sizes = ccl.label_components(threshim)
+        use_pallas_ccl = cfg.use_pallas_ccl
+        if use_pallas_ccl is None:
+            use_pallas_ccl = jax.default_backend() in ("tpu", "axon")
+        if use_pallas_ccl:
+            labels, sizes = ccl.label_components_hybrid(threshim)
+        else:
+            labels, sizes = ccl.label_components(threshim)
         pts, _counts = quadfit.boundary_points(threshim, labels, sizes,
                                                self._qcfg)
         qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)

@@ -143,3 +143,45 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
         jnp.ones((b * n,), jnp.int32)).reshape(b, n)
     sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
     return p, sizes
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "pallas_sweeps",
+                                             "interpret"))
+def label_components_hybrid(threshim: jnp.ndarray, max_iters: int = 16,
+                            pallas_sweeps: int = 192,
+                            interpret: bool = False):
+    """label_components with the Pallas VMEM propagation kernel doing the
+    bulk of the work: each outer round runs `pallas_sweeps` on-chip
+    neighbor-min sweeps (ops/ccl_pallas.py), then ONE scatter-min hook +
+    pointer-jump round (the exactness mechanism and long-snake accelerator).
+    Same outputs/semantics as label_components."""
+    from ros_vision_tpu.ops import ccl_pallas
+
+    b, h, w = threshim.shape
+    n = h * w
+    init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+
+    def gather(p, idx):
+        return jnp.take_along_axis(p, idx, axis=1)
+
+    def body(state):
+        p, _, it = state
+        m = ccl_pallas.propagate(threshim, p.reshape(b, h, w),
+                                 n_sweeps=pallas_sweeps,
+                                 interpret=interpret).reshape(b, n)
+        offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+        pn = p.reshape(-1).at[(p + offs).reshape(-1)].min(
+            m.reshape(-1)).reshape(b, n)
+        pn = gather(pn, pn)
+        pn = gather(pn, pn)
+        return pn, jnp.any(pn != p), it + 1
+
+    p, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters), body,
+        (init, jnp.bool_(True), jnp.int32(0)))
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+    flat = (p + offs).reshape(-1)
+    sizes_at_root = jnp.zeros((b * n,), jnp.int32).at[flat].add(
+        jnp.ones((b * n,), jnp.int32)).reshape(b, n)
+    sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
+    return p, sizes

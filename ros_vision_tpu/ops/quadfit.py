@@ -144,14 +144,31 @@ def boundary_points(threshim, labels, sizes, cfg: QuadFitConfig):
         x = x.reshape(b, 4, h // ri, ri, w).swapaxes(2, 3)
         return x.reshape(b, -1)
 
+    # pack (x2, y2, gx, gy) into one int32 word (11+11+2+2 bits; the same
+    # idea as the reference's 64-bit QuadBoundaryPoint packing,
+    # points.h:25-161) — halves the compaction + sort payload traffic.
+    # 11-bit coords bound the image at 2048x2048 full-res (the reference
+    # has the equivalent w*h < 2^22 cap, apriltag_gpu.cu:774).
+    assert 2 * w < 2048 and 2 * h < 2048, "image too large for 11-bit coords"
+
+    def pack(x2, y2, gx, gy):
+        return (x2 | (y2 << 11) | ((gx + 1) << 22) | ((gy + 1) << 24))
+
     payload = {
         "key_lo": flat(los), "key_hi": flat(his),
-        "x2": flat(x2s), "y2": flat(y2s),
-        "gx": flat(gxs), "gy": flat(gys),
+        "packed": flat([pack(x, y, gx_, gy_) for x, y, gx_, gy_ in
+                        zip(x2s, y2s, gxs, gys)]),
     }
-    fill = {"key_lo": _BIGI, "key_hi": _BIGI, "x2": jnp.int32(0),
-            "y2": jnp.int32(0), "gx": jnp.int32(0), "gy": jnp.int32(0)}
+    fill = {"key_lo": _BIGI, "key_hi": _BIGI, "packed": jnp.int32(0)}
     return segs.compact(flat(valids), payload, cfg.max_points, fill)
+
+
+def unpack_points(packed):
+    x2 = packed & 0x7FF
+    y2 = (packed >> 11) & 0x7FF
+    gx = ((packed >> 22) & 0x3) - 1
+    gy = ((packed >> 24) & 0x3) - 1
+    return x2, y2, gx, gy
 
 
 def _sort_by(keys, payloads, num_keys):
@@ -171,9 +188,9 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     nseg1 = nseg + 1
 
     # ---- sort by blob-pair key, assign segment ids ----------------------
-    (lo_s, hi_s), (x2, y2, gx, gy) = _sort_by(
-        [pts["key_lo"], pts["key_hi"]],
-        [pts["x2"], pts["y2"], pts["gx"], pts["gy"]], num_keys=2)
+    (lo_s, hi_s), (packed,) = _sort_by(
+        [pts["key_lo"], pts["key_hi"]], [pts["packed"]], num_keys=2)
+    x2, y2, gx, gy = unpack_points(packed)
     valid_pt = lo_s < _BIGI
     seg = segs.segment_ids_from_sorted_keys(lo_s, hi_s, valid=valid_pt,
                                             max_segments=nseg)
@@ -209,14 +226,21 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     seg_ok = seg_ok.at[:, nseg].set(False)
 
     # ---- theta sort within segments (AddThetaToIndexPoint + radix sort,
-    #      apriltag_gpu.cu:396-412, 944-956) ----------------------------
+    #      apriltag_gpu.cu:396-412, 944-956). One packed int32 key:
+    #      seg (11 bits) << 20 | theta fixed-point (20 bits) — the same
+    #      fixed-point-angle radix-sort trick as the reference's IndexPoint
+    #      (points.h:169-279, 28-bit theta; 20 bits = 6e-6 rad resolution,
+    #      far below boundary-point angular spacing) -------------------
     theta = jnp.arctan2(dyp, dxp)
+    theta_fx = jnp.clip(((theta + math.pi) * (2 ** 20 / (2 * math.pi)))
+                        .astype(jnp.int32), 0, 2 ** 20 - 1)
     seg_ok_pt = segs.take1(seg_ok, seg)
-    seg_for_sort = jnp.where(seg_ok_pt, seg, nseg)
-    (seg2, _), (x2, y2, gx, gy) = _sort_by(
-        [seg_for_sort, theta], [x2, y2, gx, gy], num_keys=2)
-    valid_pt = seg2 < nseg
-    seg = seg2
+    seg_for_sort = jnp.where(seg_ok_pt & valid_pt, seg, nseg)
+    sort_key = (seg_for_sort << 20) | theta_fx
+    (sort_key_s,), (packed,) = _sort_by([sort_key], [packed], num_keys=1)
+    seg = sort_key_s >> 20
+    x2, y2, gx, gy = unpack_points(packed)
+    valid_pt = seg < nseg
 
     # position within segment + segment start/size per point: build a
     # (B, NSEG1) start table by scatter, broadcast back by gather (cheaper
