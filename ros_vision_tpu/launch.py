@@ -148,7 +148,9 @@ class VisionSystem:
                  enable_viewer: bool = True,
                  enable_nt: bool = True,
                  camera_map: dict | None = None,
-                 calibration_dir: str | None = None):
+                 calibration_dir: str | None = None,
+                 camera_factory=None,
+                 detector_overrides: dict | None = None):
         from ros_vision_tpu.apriltag.detector import (DetectorConfig,
                                                       TPUDetector)
         from ros_vision_tpu.runtime.camera import CameraPublisher, OpenCVCamera
@@ -180,7 +182,11 @@ class VisionSystem:
                 import cv2
                 return cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
 
-            pub = CameraPublisher(OpenCVCamera(), cam, device=idx,
+            # camera_factory is the DI seam (the reference's CameraPublisher
+            # takes a CameraInterface the same way, camera_publisher.cpp:63)
+            camera = camera_factory(ident, idx) if camera_factory \
+                else OpenCVCamera()
+            pub = CameraPublisher(camera, cam, device=idx,
                                   ring=self.pipe.rings[i], to_gray=to_gray)
             self.publishers.append(pub)
             if perf.enable_optimizations:
@@ -195,11 +201,11 @@ class VisionSystem:
 
         fx, fy, cx, cy, dist = intrinsics or (
             600.0, 600.0, first.width / 2, first.height / 2, (0.0,) * 5)
-        det_cfg = DetectorConfig(
-            width=first.width, height=first.height,
-            fx=fx, fy=fy, cx=cx, cy=cy, dist=tuple(dist),
-            estimate_pose=True)
-        self.detector = TPUDetector(det_cfg)
+        det_kw = dict(width=first.width, height=first.height,
+                      fx=fx, fy=fy, cx=cx, cy=cy, dist=tuple(dist),
+                      estimate_pose=True)
+        det_kw.update(detector_overrides or {})
+        self.detector = TPUDetector(DetectorConfig(**det_kw))
 
         tag_sender = None
         if enable_nt:

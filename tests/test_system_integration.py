@@ -1,0 +1,119 @@
+"""Full-system integration test: mock cameras -> VisionSystem -> detections.
+
+The single-process analogue of the reference's in-process pub/sub round-trip
+node tests (test_camera_publisher.cpp:106-120): synthetic tag scenes flow
+from MockCameras through the frame pipe into the batched TPU detector,
+extrinsics fusion and message publication — no hardware, no network.
+Also covers the camera-mesh sharding path on the virtual 8-device mesh.
+"""
+import json
+import time
+
+import numpy as np
+import pytest
+
+from ros_vision_tpu.apriltag.render import render_scene, simple_square_corners
+
+W, H = 320, 160
+
+
+@pytest.fixture()
+def config_file(tmp_path):
+    from ros_vision_tpu.config.loader import ConfigLoader
+    cfg = {
+        "camera_mounted_positions": {
+            "mock0": {"location": "center_front", "format": "MJPG",
+                      "height": H, "width": W, "frame_rate": 30,
+                      "api_preference": "ANY"},
+            "mock1": {"location": "left_front", "format": "MJPG",
+                      "height": H, "width": W, "frame_rate": 30,
+                      "api_preference": "ANY"},
+        },
+        "extrinsics": {
+            "center_front": {"rotation": [[0, 0, 1], [-1, 0, 0],
+                                          [0, -1, 0]],
+                             "offset": [0.0, 0.0, 0.0]},
+            "left_front": {"rotation": [[0, 0, 1], [-1, 0, 0], [0, -1, 0]],
+                           "offset": [0.1, 0.2, 0.0]},
+        },
+    }
+    p = tmp_path / "system_config.json"
+    p.write_text(json.dumps(cfg))
+    ConfigLoader.set_config_file_path(str(p))
+    yield str(p)
+    ConfigLoader.set_config_file_path(None)
+    ConfigLoader.reload_config()
+
+
+def test_vision_system_end_to_end(config_file, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+
+    scene0, _ = render_scene([5], [simple_square_corners(80, 60, 34)], W, H)
+    scene1, _ = render_scene([9], [simple_square_corners(220, 90, 36, 15)],
+                             W, H)
+    scenes = {"mock0": scene0, "mock1": scene1}
+
+    def factory(ident, idx):
+        bgr = cv2.cvtColor(scenes[ident], cv2.COLOR_GRAY2BGR)
+        return MockCamera(width=W, height=H, frame_factory=lambda n: bgr)
+
+    csv = str(tmp_path / "timing.csv")
+    system = VisionSystem(
+        measurement_mode=True, timing_csv_path=csv,
+        enable_viewer=False, enable_nt=False,
+        camera_map={"mock0": 0, "mock1": 1},
+        camera_factory=factory,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0))
+    system.start()
+    try:
+        deadline = time.time() + 10
+        results = None
+        while time.time() < deadline:
+            results = system.spin_once()
+            ids0 = [d.tag_id for d in results[0][0]]
+            ids1 = [d.tag_id for d in results[1][0]]
+            if ids0 == [5] and ids1 == [9]:
+                break
+        assert [d.tag_id for d in results[0][0]] == [5]
+        assert [d.tag_id for d in results[1][0]] == [9]
+        # extrinsics fusion applied: camera z -> robot x (+ offset)
+        dets, robot = results[1]
+        assert robot[0][0] > 0.1   # in front of the robot
+    finally:
+        system.stop()
+    # measurement CSV written with the reference's column set
+    header = open(csv).readline()
+    assert "latency_us" in header and "networktables_us" in header
+
+
+def test_mesh_sharded_detection():
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.parallel.mesh import make_camera_mesh, shard_detector
+
+    det = TPUDetector(DetectorConfig(
+        width=W, height=H, max_points=2048, max_segments=64, max_quads=8,
+        fx=300.0, fy=300.0, cx=160.0, cy=80.0, estimate_pose=True,
+        use_pallas_ccl=False))
+    mesh = make_camera_mesh(n_cameras=4, model_parallel=1)
+    fn = shard_detector(det, mesh)
+
+    imgs = []
+    for i in range(4):
+        img, _ = render_scene([10 + i],
+                              [simple_square_corners(80 + 30 * i, 60, 30)],
+                              W, H)
+        imgs.append(img)
+    batch = jax.device_put(
+        np.stack(imgs), NamedSharding(mesh, P("cameras", None, None)))
+    out = jax.tree_util.tree_map(np.asarray, fn(batch))
+    for i in range(4):
+        ids = out["tag_id"][i][out["ok"][i]]
+        assert ids.tolist() == [10 + i]
