@@ -35,7 +35,7 @@ CAMERA_TARGET_FPS = 100.0  # 1280x800@100fps MJPG target (system_config.json)
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     img, _ = render_scene(
         [0, 42, 311, 100],
