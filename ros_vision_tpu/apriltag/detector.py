@@ -175,7 +175,13 @@ class TPUDetector:
         sorted by tag id (the reference sorts decode output by id,
         apriltag_detect.cu:284-288)."""
         single = np.asarray(gray_batch).ndim == 2
-        out = jax.tree_util.tree_map(np.asarray, self.detect_raw(gray_batch))
+        results = self.unpack(self.detect_raw(gray_batch))
+        return results[0] if single else results
+
+    def unpack(self, raw_out: dict) -> list:
+        """Device output dict -> per-row TPUDetection lists (forces the
+        device->host transfer; pair with detect_raw for pipelined use)."""
+        out = jax.tree_util.tree_map(np.asarray, raw_out)
         results = []
         for b in range(out["ok"].shape[0]):
             dets = []
@@ -194,4 +200,4 @@ class TPUDetector:
                 dets.append(det)
             dets.sort(key=lambda d: d.tag_id)
             results.append(dets)
-        return results[0] if single else results
+        return results

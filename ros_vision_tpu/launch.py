@@ -257,8 +257,25 @@ class VisionSystem:
         return results
 
     def spin(self) -> None:
+        """Pipelined loop: dispatch detection for batch N+1 while the host
+        publishes batch N (the device computes during host-side NT/viewer
+        work — capture->pose latency stays one pipeline stage deep)."""
+        pending = None
+        pending_frames = None
+        pending_stamps = None
         while self._running:
-            self.spin_once()
+            frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
+            nxt = self.node.submit(frames)
+            if pending is not None:
+                self.node.process_batch(pending_frames,
+                                        [s / 1e9 for s in pending_stamps],
+                                        pending=pending)
+                if self.bag is not None:
+                    for ch, frame in zip(self.channels, pending_frames):
+                        self.bag.write_image(
+                            f"cameras/{ch.location}/image_raw/compressed",
+                            frame)
+            pending, pending_frames, pending_stamps = nxt, frames, stamps
 
     def stop(self) -> None:
         self._running = False

@@ -64,15 +64,27 @@ class VisionNode:
         return ch.extrinsic_rotation @ np.asarray(p_cam) + \
             ch.extrinsic_offset
 
-    def process_batch(self, frames: np.ndarray, capture_stamps=None):
+    def submit(self, frames: np.ndarray):
+        """Asynchronously dispatch detection for a frame batch (returns the
+        raw device output handle — computation overlaps host work; the
+        double-buffering role of the reference's pinned-memory MemcpyAsync,
+        cuda_frc971.h:107-145)."""
+        return self.detector.detect_raw(frames)
+
+    def process_batch(self, frames: np.ndarray, capture_stamps=None,
+                      pending=None):
         """frames (B, H, W) uint8 -> per-camera detection lists (robot
         frame), publishing side effects included. Returns list of
-        (detections, robot_positions)."""
+        (detections, robot_positions). Pass `pending` (from submit()) to
+        consume a previously dispatched batch instead of detecting inline."""
         t_recv = time.monotonic()
         stamps = capture_stamps or [time.time()] * len(self.channels)
 
         t0 = time.monotonic()
-        batch_dets = self.detector.detect(frames)
+        if pending is not None:
+            batch_dets = self.detector.unpack(pending)
+        else:
+            batch_dets = self.detector.detect(frames)
         det_time = time.monotonic() - t0
         if frames.ndim == 2:
             batch_dets = [batch_dets]

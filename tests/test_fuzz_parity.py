@@ -1,0 +1,110 @@
+"""Randomized parity + robustness fuzzing.
+
+Property: on any synthetic scene the TPU detector and the f64 oracle decode
+the SAME tag ids with hamming 0; under distortion both must recover ids and
+poses; tags with up to 2 corrupted data bits must still decode (the
+reference decodes with bits_corrected = 2).
+"""
+import numpy as np
+import pytest
+
+from ros_vision_tpu.apriltag import geometry as geo
+from ros_vision_tpu.apriltag.families import get_family
+from ros_vision_tpu.apriltag.oracle import OracleDetector
+from ros_vision_tpu.apriltag.render import render_scene, simple_square_corners
+
+W, H = 320, 160
+FX = FY = 300.0
+CX, CY = 160.0, 80.0
+
+
+@pytest.fixture(scope="module")
+def tpu_det():
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    return TPUDetector(DetectorConfig(
+        width=W, height=H, max_points=8192, max_segments=128, max_quads=16,
+        fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True))
+
+
+def _random_scene(rng, n_tags):
+    ids = rng.choice(587, n_tags, replace=False).tolist()
+    corners = []
+    xs = np.linspace(60, W - 60, n_tags)
+    for i in range(n_tags):
+        corners.append(simple_square_corners(
+            xs[i] + rng.uniform(-10, 10), rng.uniform(55, H - 55),
+            rng.uniform(22, 34), angle_deg=rng.uniform(-45, 45)))
+    return render_scene(ids, corners, W, H,
+                        noise_sigma=rng.uniform(0, 4),
+                        background=int(rng.uniform(120, 220)),
+                        seed=int(rng.integers(1 << 30)))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_fuzz_tpu_matches_oracle(seed, tpu_det):
+    rng = np.random.default_rng(seed)
+    img, placed = _random_scene(rng, int(rng.integers(1, 4)))
+    oracle = OracleDetector(fx=FX, fy=FY, cx=CX, cy=CY,
+                            estimate_pose=True).detect(img)
+    tpu = tpu_det.detect(img)
+    o_ids = [d.tag_id for d in oracle.detections]
+    t_ids = [d.tag_id for d in tpu]
+    assert t_ids == o_ids, f"seed {seed}: tpu {t_ids} vs oracle {o_ids}"
+    for td, od in zip(tpu, oracle.detections):
+        assert td.hamming == od.hamming
+        assert np.abs(td.corners - od.corners).max() < 1.0
+        if td.pose_t is not None and od.pose_t is not None:
+            assert np.abs(td.pose_t - od.pose_t).max() < 0.02
+
+
+def test_distorted_end_to_end():
+    """Render through a distorting lens; detector configured with the same
+    calibration must recover ids and accurate poses (the reference's
+    undistortion-aware RefineEdges + calibrated pose path)."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.apriltag.render import project_tag_corners
+    from scipy.spatial.transform import Rotation
+    dist = np.array([-0.25, 0.08, 0.0, 0.0, 0.0])
+    tag = 0.1651
+    rot = Rotation.from_euler("xyz", [10, -15, 30], degrees=True).as_matrix()
+    t = np.array([0.05, -0.02, 1.1])
+    corners = project_tag_corners(rot, t, tag, FX, FY, CX, CY, dist=dist)
+    img, _ = render_scene([77], [corners], W, H)
+
+    det = TPUDetector(DetectorConfig(
+        width=W, height=H, max_points=8192, max_segments=128, max_quads=16,
+        fx=FX, fy=FY, cx=CX, cy=CY, dist=tuple(dist), estimate_pose=True))
+    res = det.detect(img)
+    assert [d.tag_id for d in res] == [77]
+    d = res[0]
+    # pose computed from undistorted corners
+    und = geo.undistort_points(np.asarray(d.corners, np.float64),
+                               FX, FY, CX, CY, dist)
+    R, tt, err = geo.estimate_tag_pose(und, tag, FX, FY, CX, CY)
+    assert np.linalg.norm(tt - t) < 0.02
+    # device pose (computed on distorted corners, like the reference's
+    # estimate_tag_pose call) is close for this distortion level
+    assert np.linalg.norm(np.asarray(d.pose_t) - t) < 0.06
+
+
+@pytest.mark.parametrize("n_flips", [1, 2])
+def test_corrupted_bits_decode(n_flips, tpu_det):
+    """Flip n data modules of a rendered tag; must decode with
+    hamming == n (bits_corrected = 2, apriltag_detector_add_family)."""
+    fam = get_family()
+    tag_id = 123
+    rng = np.random.default_rng(7)
+    img, _ = render_scene([tag_id], [simple_square_corners(160, 80, 40)],
+                          W, H)
+    # flip modules by repainting them: the tag spans 10 modules over 80 px
+    # -> 8 px per module; data grid starts 1 module inside the border
+    grid = fam.code_grid(tag_id)
+    flips = rng.choice(36, n_flips, replace=False)
+    for f in flips:
+        gy, gx = divmod(int(f), 6)
+        x0 = int(160 - 40 + (1 + gx) * 10)
+        y0 = int(80 - 40 + (1 + gy) * 10)
+        img[y0 + 2:y0 + 8, x0 + 2:x0 + 8] = 0 if grid[gy, gx] else 255
+    res = tpu_det.detect(img)
+    assert [d.tag_id for d in res] == [tag_id]
+    assert res[0].hamming == n_flips
