@@ -98,7 +98,11 @@ class TPUDetector:
             threshim, _ = thr.adaptive_threshold(decim)
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:
-            use_pallas_ccl = jax.default_backend() in ("tpu", "axon")
+            # auto: TPU backend AND the VMEM-resident kernel's working set
+            # fits the 16MB scoped limit (~300k decimated pixels)
+            use_pallas_ccl = (jax.default_backend() in ("tpu", "axon")
+                              and (cfg.width // 2) * (cfg.height // 2)
+                              <= 300_000)
         if use_pallas_ccl:
             labels, sizes = ccl.label_components_hybrid(threshim)
         else:
@@ -131,8 +135,8 @@ class TPUDetector:
         centers = jnp.stack([cx0, cy0], -1)
 
         # reconcile duplicates on device (reconcile_detections): same id +
-        # overlapping centers -> keep lowest hamming then highest margin
-    # score: lower is better; invalid slots = +inf
+        # overlapping centers -> keep lowest hamming then highest margin;
+        # score is lower-is-better, invalid slots = +inf
         score = d["hamming"].astype(jnp.float32) * 1e6 - d["margin"]
         score = jnp.where(ok, score, jnp.inf)
         diag = jnp.linalg.norm(det_corners[:, :, 0] - det_corners[:, :, 2],

@@ -48,9 +48,11 @@ def _make_kernel(n_sweeps: int):
         not127 = v != 127
         white = v == 255
 
-        # loop-invariant eligibility masks per direction
-        masks = []
-        for dy, dx, diag in _OFFSETS:
+        # loop-invariant eligibility packed into ONE int32 bitmask array
+        # (8 separate bool masks get hoisted out of the loop and blow the
+        # 16 MB scoped-VMEM limit at larger frame sizes)
+        mask_bits = jnp.zeros(v.shape, jnp.int32)
+        for k, (dy, dx, diag) in enumerate(_OFFSETS):
             nv = _roll2(v, dy, dx)
             ok = not127 & (nv == v)
             if diag:
@@ -64,12 +66,13 @@ def _make_kernel(n_sweeps: int):
                 ok &= cols > 0
             elif dx == 1:
                 ok &= cols < w - 1
-            masks.append(ok)
+            mask_bits = mask_bits | (ok.astype(jnp.int32) << k)
 
         def sweep(_, lab):
             m = lab
-            for (dy, dx, _d), ok in zip(_OFFSETS, masks):
+            for k, (dy, dx, _d) in enumerate(_OFFSETS):
                 nl = _roll2(lab, dy, dx)
+                ok = ((mask_bits >> k) & 1) == 1
                 m = jnp.minimum(m, jnp.where(ok, nl, _BIG))
             return m
 
@@ -92,5 +95,8 @@ def propagate(threshim: jnp.ndarray, labels: jnp.ndarray,
         in_specs=[spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        # alias labels in/out: halves the label buffering (the 16 MB scoped
+        # VMEM limit binds at >=540x960 frames otherwise)
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(threshim, labels)

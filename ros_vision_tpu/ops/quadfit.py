@@ -135,8 +135,9 @@ def boundary_points(threshim, labels, sizes, cfg: QuadFitConfig):
         gxs.append(dx * g)
         gys.append(dy * g)
 
-    ri = cfg.row_interleave
-    assert h % ri == 0
+    # largest divisor of h not exceeding the configured interleave
+    ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
+              if h % r == 0)
 
     def flat(lst):
         x = jnp.stack(lst, axis=1)                      # (B, 4, H, W)

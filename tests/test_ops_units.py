@@ -41,6 +41,21 @@ def test_segmented_cumsum_from_starts():
     assert np.abs(got - want).max() < 1e-3
 
 
+def test_segmented_cumsum_flagged():
+    # the log-depth flagged variant (segment-local precision), kept as an
+    # alternative to scan.segmented_cumsum_from_starts
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(1, 256, 2)).astype(np.float32)
+    starts = np.zeros((1, 256), bool)
+    starts[0, [0, 50, 200]] = True
+    got = np.asarray(segs.segmented_cumsum(jnp.asarray(v),
+                                           jnp.asarray(starts)))
+    want = np.zeros_like(v)
+    for a, b in zip([0, 50, 200], [50, 200, 256]):
+        want[0, a:b] = np.cumsum(v[0, a:b], axis=0)
+    assert np.abs(got - want).max() < 1e-4
+
+
 def test_compact():
     valid = jnp.asarray([[False, True, False, True, True, False, True]])
     payload = {"x": jnp.arange(7)[None] * 10}
