@@ -117,3 +117,23 @@ def test_batched_detection(scene, tpu_detector):
     assert [d.tag_id for d in res[0]] == [3, 77]
     assert [d.tag_id for d in res[1]] == [123]
     assert res[2] == []
+
+
+def test_blank_and_saturated_frames(tpu_detector):
+    """Degenerate inputs must give empty output without NaN/crash (the
+    no-tags golden assertion, generalized)."""
+    for val in (0, 127, 255):
+        frame = np.full((H, W), val, np.uint8)
+        assert tpu_detector.detect(frame) == []
+
+
+def test_non_multiple16_rows():
+    """Heights whose decimated row count isn't divisible by the interleave
+    must still work (adaptive interleave; e.g. 1080p -> 540 rows)."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    img, _ = render_scene([11], [simple_square_corners(160, 80, 30)],
+                          320, 168)
+    det = TPUDetector(DetectorConfig(
+        width=320, height=168, max_points=4096, max_segments=64,
+        max_quads=8))
+    assert [d.tag_id for d in det.detect(img)] == [11]
