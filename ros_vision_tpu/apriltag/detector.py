@@ -174,6 +174,17 @@ class TPUDetector:
             g = g[None]
         return self._fn(g)
 
+    def detect_yuyv(self, yuyv_batch) -> list:
+        """Detect on raw YUYV422 camera frames (B, H, 2*W) uint8 — the
+        reference's native camera format (Y extraction on device,
+        threshold.cu:21)."""
+        y = jnp.asarray(yuyv_batch)
+        single = y.ndim == 2
+        if single:
+            y = y[None]
+        results = self.unpack(self._fn(thr.yuyv_to_gray(y)))
+        return results[0] if single else results
+
     def detect(self, gray_batch) -> list:
         """Returns a list (per batch row) of lists of TPUDetection,
         sorted by tag id (the reference sorts decode output by id,

@@ -137,3 +137,11 @@ def test_non_multiple16_rows():
         width=320, height=168, max_points=4096, max_segments=64,
         max_quads=8))
     assert [d.tag_id for d in det.detect(img)] == [11]
+
+
+def test_detect_yuyv(tpu_detector):
+    img, _ = render_scene([42], [simple_square_corners(160, 80, 36)], W, H)
+    yuyv = np.full((H, 2 * W), 128, np.uint8)
+    yuyv[:, ::2] = img          # Y bytes carry the gray image
+    dets = tpu_detector.detect_yuyv(yuyv)
+    assert [d.tag_id for d in dets] == [42]
