@@ -25,6 +25,7 @@ FAMILIES = {
     "tag36h11": (cv2.aruco.DICT_APRILTAG_36h11, 6, 11),
     "tag25h9": (cv2.aruco.DICT_APRILTAG_25h9, 5, 9),
     "tag16h5": (cv2.aruco.DICT_APRILTAG_16h5, 4, 5),
+    "tag36h10": (cv2.aruco.DICT_APRILTAG_36h10, 6, 10),
 }
 
 

@@ -83,3 +83,13 @@ def test_render_roundtrip_against_opencv():
             np.abs(np.roll(got, k, axis=0) - want).max() for k in range(4))
         # aruco's default corner localization is ~pixel-accurate
         assert d < 1.5, f"corner mismatch for tag {fid}: {d}"
+
+
+def test_tag36h10_family():
+    fam = get_family("tag36h10")
+    assert fam.n_codes == 2320 and fam.min_hamming == 10
+    from ros_vision_tpu.apriltag.oracle import OracleDetector
+    img, _ = render_scene([1500], [simple_square_corners(160, 80, 40)],
+                          320, 160, family=fam)
+    res = OracleDetector(family="tag36h10").detect(img)
+    assert [(d.tag_id, d.hamming) for d in res.detections] == [(1500, 0)]
