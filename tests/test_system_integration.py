@@ -70,16 +70,19 @@ def test_vision_system_end_to_end(config_file, tmp_path):
                                 cx=160.0, cy=80.0))
     system.start()
     try:
-        deadline = time.time() + 10
+        # let the capture threads prime the rings (generous: suite load and
+        # first-process jit compiles make startup timing noisy)
+        deadline = time.time() + 60
         results = None
+        ids0 = ids1 = None
         while time.time() < deadline:
             results = system.spin_once()
             ids0 = [d.tag_id for d in results[0][0]]
             ids1 = [d.tag_id for d in results[1][0]]
             if ids0 == [5] and ids1 == [9]:
                 break
-        assert [d.tag_id for d in results[0][0]] == [5]
-        assert [d.tag_id for d in results[1][0]] == [9]
+            time.sleep(0.02)
+        assert (ids0, ids1) == ([5], [9]), f"got {ids0}, {ids1}"
         # extrinsics fusion applied: camera z -> robot x (+ offset)
         dets, robot = results[1]
         assert robot[0][0] > 0.1   # in front of the robot
