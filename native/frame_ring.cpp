@@ -95,10 +95,9 @@ uint64_t frame_ring_push(void* h, const uint8_t* buf, uint32_t size,
   if (size > r->slot_bytes) size = r->slot_bytes;
   uint64_t id = r->head.load(std::memory_order_relaxed);
   Slot& s = r->slots[id % r->n_slots];
-  // overwriting an unread slot == dropping the oldest frame
-  if (s.seq_end.load(std::memory_order_relaxed) != 0 &&
-      id >= r->n_slots) {
-    r->drops.fetch_add(0, std::memory_order_relaxed);
+  // overwriting a previously written slot == the oldest frame is dropped
+  if (id >= r->n_slots) {
+    r->drops.fetch_add(1, std::memory_order_relaxed);
   }
   s.seq_begin.store(2 * id + 1, std::memory_order_release);  // mark writing
   s.timestamp_ns = timestamp_ns > 0 ? timestamp_ns : now_ns();
@@ -158,3 +157,7 @@ uint64_t frame_ring_head(void* h) {
 }
 
 }  // extern "C"
+
+extern "C" uint64_t frame_ring_drops(void* h) {
+  return static_cast<Ring*>(h)->drops.load(std::memory_order_relaxed);
+}
