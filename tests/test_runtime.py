@@ -289,3 +289,30 @@ def test_scheduler_affinity():
         assert set_affinity([0, 1])
         assert _os.sched_getaffinity(0) == {0, 1}
         set_affinity(list(range(n)))
+
+
+def test_viewer_streams_jpeg():
+    cv2 = pytest.importorskip("cv2")
+    from websockets.sync.client import connect
+    from ros_vision_tpu.runtime.viewer import ImageStreamServer
+    import socket
+    # pick a free port pair
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    srv = ImageStreamServer(port=port)
+    try:
+        ws = connect(f"ws://127.0.0.1:{port + 1}/image")
+        time.sleep(0.1)
+        img = np.random.default_rng(0).integers(0, 255, (32, 48),
+                                                np.uint8).astype(np.uint8)
+        for _ in range(5):
+            srv.publish(img)
+            time.sleep(0.02)
+        payload = ws.recv(timeout=3)
+        assert isinstance(payload, (bytes, bytearray))
+        dec = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        assert dec is not None and dec.shape[:2] == (32, 48)
+        ws.close()
+    finally:
+        srv.close()
