@@ -185,3 +185,23 @@ def test_data_collector_mock(tmp_path):
     sets = load_framesets(out)
     assert set(sets[0].keys()) == {"a", "b"}
     assert sets[0]["a"][0, 0] == 50
+
+
+def test_replay_bag_tool(tmp_path):
+    pytest.importorskip("cv2")
+    from ros_vision_tpu.apriltag.render import render_scene
+    from ros_vision_tpu.runtime.bags import BagWriter
+    from ros_vision_tpu.tools.replay_bag import main as replay_main
+    img, _ = render_scene(
+        [42], [__import__("ros_vision_tpu.apriltag.render",
+                          fromlist=["simple_square_corners"]
+                          ).simple_square_corners(160, 80, 36)], 320, 160)
+    bag = str(tmp_path / "bag")
+    w = BagWriter(bag)
+    w.write_image("cameras/center_front/image_raw/compressed", img,
+                  jpeg_quality=98)
+    w.close()
+    out = str(tmp_path / "dets.jsonl")
+    replay_main([bag, "--out", out, "--fx", "300", "--fy", "300"])
+    rec = json.loads(open(out).readline())
+    assert [d["id"] for d in rec["detections"]] == [42]
