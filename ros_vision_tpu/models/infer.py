@@ -97,6 +97,22 @@ class ModelInference:
         img = img[..., ::-1].astype(np.float32) / 255.0
         return img[None]
 
+    def preprocess_device(self, bgr_batch) -> jnp.ndarray:
+        """Device-side preprocessing: resize + BGR->RGB + /255 as jitted TPU
+        ops (BASELINE config 4: preprocessing on TPU). bgr_batch
+        (B, H, W, 3) uint8."""
+        x = jnp.asarray(bgr_batch)
+        if x.ndim == 3:
+            x = x[None]
+
+        @jax.jit
+        def run(x):
+            x = x[..., ::-1].astype(jnp.float32) / 255.0
+            return jax.image.resize(
+                x, (x.shape[0], self.img_size, self.img_size, 3), "bilinear")
+
+        return run(x)
+
     def infer(self, image_input: np.ndarray) -> dict:
         """Raw fixed-shape outputs for a preprocessed (1,H,W,3) input."""
         return self._run(self.variables, jnp.asarray(image_input))
