@@ -211,20 +211,25 @@ def quad_segment_maxima(lfps: np.ndarray):
     if ksz < 2:
         return None
 
-    # windowed line-fit error per point (circular window of 2*ksz+1)
+    # windowed line-fit error per point (circular window of 2*ksz+1),
+    # vectorized over all points via prefix-sum differences
     idx = np.arange(sz)
     i0s = (idx - ksz) % sz
     i1s = (idx + ksz) % sz
-    errs = np.empty(sz)
-    for i in range(sz):
-        errs[i] = _fit_line(lfps, int(i0s[i]), int(i1s[i]))[4]
+    zero = np.zeros((1, 6))
+    pref_m1 = np.concatenate([zero, lfps[:-1]], axis=0)  # prefix before i
+    direct = i0s <= i1s
+    total = lfps[-1]
+    m = np.where(direct[:, None],
+                 lfps[i1s] - pref_m1[i0s],
+                 total - (pref_m1[i0s] - lfps[i1s]))
+    n = np.where(direct, i1s - i0s + 1, sz - i0s + i1s + 1)
+    errs = geo.fit_line_from_moments(
+        m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4], m[:, 5], n)[4]
 
     # 7-tap unnormalized gaussian smoothing, circular (sigma = 1)
     f = np.exp(-np.arange(-3, 4) ** 2 / 2.0)
-    sm = np.empty(sz)
-    for i in range(sz):
-        sm[i] = sum(errs[(i + j) % sz] * f[j + 3] for j in range(-3, 4))
-    errs = sm
+    errs = sum(f[j + 3] * errs[(idx + j) % sz] for j in range(-3, 4))
 
     nxt = np.roll(errs, -1)
     prv = np.roll(errs, 1)
