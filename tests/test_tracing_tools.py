@@ -49,3 +49,15 @@ def test_nms_matches_reference_semantics():
     out = nms.parse_and_nms(jnp.asarray(raw), max_detections=4)
     kept = np.asarray(out["scores"])[0][np.asarray(out["valid"])[0]]
     assert sorted(kept.tolist(), reverse=True) == pytest.approx([0.9, 0.7])
+
+
+def test_stage_timer(det):
+    from ros_vision_tpu.utils.tracing import StageTimer
+    img, _ = render_scene([3], [simple_square_corners(80, 60, 34)], W, H)
+    timer = StageTimer(det)
+    times = timer.measure(img, reps=2)
+    assert set(times) == {"threshold", "ccl", "boundary", "quadfit",
+                          "refine", "decode", "pose"}
+    assert all(v > 0 for v in times.values())
+    report = timer.report()
+    assert "total" in report and "quadfit" in report
