@@ -85,8 +85,20 @@ class TPUDetector:
             tag_width=max(3, self.family.border_size // dec.QUAD_DECIMATE))
         self._fn = jax.jit(self._detect_device)
 
+    def default_intrinsics(self, batch: int) -> np.ndarray:
+        """(B, 9) [fx, fy, cx, cy, k1, k2, p1, p2, k3] from the config —
+        override per call for per-camera calibrations."""
+        cfg = self.config
+        row = np.array([cfg.fx, cfg.fy, cfg.cx, cfg.cy, *cfg.dist],
+                       np.float32)
+        return np.tile(row, (batch, 1))
+
     # ---- the jitted pipeline --------------------------------------------
-    def _detect_device(self, gray: jnp.ndarray):
+    def _detect_device(self, gray: jnp.ndarray, intr: jnp.ndarray):
+        """gray (B, H, W) uint8; intr (B, 9) per-camera
+        [fx, fy, cx, cy, k1, k2, p1, p2, k3] (the reference loads one
+        calibrationmatrix_<serial>.json per camera,
+        apriltags_cuda_detector.cu:315-371)."""
         cfg = self.config
         if cfg.use_pallas_threshold:
             from ros_vision_tpu.ops.threshold_pallas import (
@@ -113,16 +125,17 @@ class TPUDetector:
         corners = dec.adjust_pixel_centers(qf["corners"])
         qvalid = qf["quad_valid"]
 
-        intr = None
-        dist = None
-        if any(cfg.dist) or cfg.fx:
-            intr = (cfg.fx, cfg.fy, cfg.cx, cfg.cy)
-            dist = jnp.asarray(cfg.dist, jnp.float32)
+        fxs, fys, cxs, cys = (intr[:, i] for i in range(4))
+        dist = intr[:, 4:9]
+        # the undistortion-aware refine path is traced only when the STATIC
+        # config declares distortion (25-iteration inverse model over every
+        # edge sample is not free); per-camera values flow in dynamically
+        use_dist = any(cfg.dist)
         if cfg.refine_edges:
             corners = dec.refine_edges(
                 gray, corners, qvalid,
-                intr if (dist is not None and any(cfg.dist)) else None,
-                dist if any(cfg.dist) else None)
+                (fxs, fys, cxs, cys) if use_dist else None,
+                dist if use_dist else None)
 
         d = dec.decode_quads(gray, corners, qvalid, self.family,
                              self._code_matrix)
@@ -162,19 +175,22 @@ class TPUDetector:
         }
         if cfg.estimate_pose and cfg.fx:
             R, t, err = poseops.estimate_poses(
-                H, cfg.tag_size, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+                H, cfg.tag_size, fxs, fys, cxs, cys)
             out.update({"pose_R": R, "pose_t": t, "pose_err": err})
         return out
 
     # ---- host API --------------------------------------------------------
-    def detect_raw(self, gray_batch) -> dict:
-        """Returns the raw fixed-shape device output dict."""
+    def detect_raw(self, gray_batch, intrinsics=None) -> dict:
+        """Returns the raw fixed-shape device output dict. intrinsics: (B,9)
+        per-camera [fx,fy,cx,cy,k1,k2,p1,p2,k3]; defaults from config."""
         g = jnp.asarray(gray_batch)
         if g.ndim == 2:
             g = g[None]
-        return self._fn(g)
+        if intrinsics is None:
+            intrinsics = self.default_intrinsics(g.shape[0])
+        return self._fn(g, jnp.asarray(intrinsics, jnp.float32))
 
-    def detect_yuyv(self, yuyv_batch) -> list:
+    def detect_yuyv(self, yuyv_batch, intrinsics=None) -> list:
         """Detect on raw YUYV422 camera frames (B, H, 2*W) uint8 — the
         reference's native camera format (Y extraction on device,
         threshold.cu:21)."""
@@ -182,15 +198,17 @@ class TPUDetector:
         single = y.ndim == 2
         if single:
             y = y[None]
-        results = self.unpack(self._fn(thr.yuyv_to_gray(y)))
+        results = self.unpack(self.detect_raw(thr.yuyv_to_gray(y),
+                                              intrinsics))
         return results[0] if single else results
 
-    def detect(self, gray_batch) -> list:
+    def detect(self, gray_batch, intrinsics=None) -> list:
         """Returns a list (per batch row) of lists of TPUDetection,
         sorted by tag id (the reference sorts decode output by id,
-        apriltag_detect.cu:284-288)."""
+        apriltag_detect.cu:284-288). intrinsics: optional (B, 9) per-camera
+        calibration rows."""
         single = np.asarray(gray_batch).ndim == 2
-        results = self.unpack(self.detect_raw(gray_batch))
+        results = self.unpack(self.detect_raw(gray_batch, intrinsics))
         return results[0] if single else results
 
     def unpack(self, raw_out: dict) -> list:

@@ -171,10 +171,13 @@ class VisionSystem:
         perf = ConfigLoader.get_performance_config()
         self.publishers = []
         channels = []
-        intrinsics = None
+        intrinsics = None            # default-config source (first calib)
+        per_camera_calibs = []       # one row per camera (reference loads
+        # calibrationmatrix_<serial>.json per camera)
         for i, ident in enumerate(idents):
             idx, cam, ext = cfgs[ident]
             calib = load_calibration(ident, calibration_dir)
+            per_camera_calibs.append(calib)
             if calib is not None and intrinsics is None:
                 intrinsics = calib
 
@@ -206,6 +209,14 @@ class VisionSystem:
                       estimate_pose=True)
         det_kw.update(detector_overrides or {})
         self.detector = TPUDetector(DetectorConfig(**det_kw))
+        # per-camera intrinsics rows (default-config rows where a camera has
+        # no calibration artifact)
+        intr_rows = self.detector.default_intrinsics(len(idents))
+        for i, calib in enumerate(per_camera_calibs):
+            if calib is not None:
+                cfx, cfy, ccx, ccy, cdist = calib
+                intr_rows[i] = [cfx, cfy, ccx, ccy, *cdist]
+        self.intrinsics = intr_rows
 
         tag_sender = None
         if enable_nt:
@@ -236,7 +247,8 @@ class VisionSystem:
         self.node = VisionNode(self.detector, channels,
                                tag_sender=tag_sender,
                                measurement_mode=measurement_mode,
-                               timing_csv_path=timing_csv_path)
+                               timing_csv_path=timing_csv_path,
+                               intrinsics=self.intrinsics)
         self.channels = channels
         self._running = False
 

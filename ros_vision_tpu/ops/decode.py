@@ -81,9 +81,26 @@ def _int_sample(gray_f: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     return v, ok
 
 
+def _bc_intr(intr, dist, ndim):
+    """Broadcast intrinsics/distortion (scalars, (B,) or (B,5)) against
+    sample arrays with `ndim` dims (leading batch axis)."""
+    def bc(v):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0:
+            return v
+        return v.reshape(v.shape[:1] + (1,) * (ndim - 1))
+
+    fx, fy, cx, cy = (bc(v) for v in intr)
+    d = jnp.asarray(dist, jnp.float32)
+    if d.ndim <= 1:
+        ks = [d[i] for i in range(5)]
+    else:
+        ks = [bc(d[:, i]) for i in range(5)]
+    return fx, fy, cx, cy, ks
+
+
 def _undistort(px, py, intr, dist, iters=25):
-    fx, fy, cx, cy = intr
-    k1, k2, p1, p2, k3 = [dist[i] for i in range(5)]
+    fx, fy, cx, cy, (k1, k2, p1, p2, k3) = _bc_intr(intr, dist, px.ndim)
     x0 = (px - cx) / fx
     y0 = (py - cy) / fy
 
@@ -100,8 +117,7 @@ def _undistort(px, py, intr, dist, iters=25):
 
 
 def _distort(px, py, intr, dist):
-    fx, fy, cx, cy = intr
-    k1, k2, p1, p2, k3 = [dist[i] for i in range(5)]
+    fx, fy, cx, cy, (k1, k2, p1, p2, k3) = _bc_intr(intr, dist, px.ndim)
     x = (px - cx) / fx
     y = (py - cy) / fy
     r2 = x * x + y * y

@@ -127,19 +127,30 @@ def _axis_rotation(axis, ang):
 
 
 def estimate_poses(Hdet: jnp.ndarray, tag_size: float,
-                   fx: float, fy: float, cx: float, cy: float,
-                   n_steps: int = 30):
+                   fx, fy, cx, cy, n_steps: int = 30):
     """Hdet (B, NQ, 3, 3) canonical detection homographies ->
-    (R (B,NQ,3,3), t (B,NQ,3), err (B,NQ))."""
+    (R (B,NQ,3,3), t (B,NQ,3), err (B,NQ)).
+
+    Intrinsics may be scalars or per-batch-row (B,) arrays (per-camera
+    calibration: each row of the batch is a different camera)."""
+    b = Hdet.shape[0]
+
+    def per_row(v):
+        v = jnp.asarray(v, jnp.float32)
+        return jnp.broadcast_to(v.reshape(-1), (b,)) if v.ndim <= 1 else v
+
+    fx1, fy1, cx1, cy1 = (per_row(v)[:, None] for v in (fx, fy, cx, cy))
     s = tag_size / 2.0
     obj = jnp.asarray([[-s, s, 0], [s, s, 0], [s, -s, 0], [-s, -s, 0]],
                       jnp.float32)
     # detection corners from the homography
     tcs = jnp.asarray([[-1, 1], [1, 1], [1, -1], [-1, -1]], jnp.float32)
     px, py = project(Hdet[..., None, :, :], tcs[:, 0], tcs[:, 1])
-    v = jnp.stack([(px - cx) / fx, (py - cy) / fy, jnp.ones_like(px)], -1)
+    v = jnp.stack([(px - cx1[..., None]) / fx1[..., None],
+                   (py - cy1[..., None]) / fy1[..., None],
+                   jnp.ones_like(px)], -1)
 
-    r0, t0 = _homography_init(Hdet, fx, fy, cx, cy)
+    r0, t0 = _homography_init(Hdet, fx1, fy1, cx1, cy1)
     t0 = t0 * s
     r1, t1, e1 = _orthogonal_iteration(v, obj, r0, t0, n_steps)
 

@@ -35,12 +35,14 @@ def shard_detector(detector, mesh: Mesh):
     explicit in/out shardings so multi-chip placement is compiler-checked.
     """
     in_s = NamedSharding(mesh, P("cameras", None, None))
+    intr_s = NamedSharding(mesh, P("cameras", None))
 
-    def fn(frames):
+    def fn(frames, intrinsics):
         frames = jax.lax.with_sharding_constraint(frames, in_s)
-        return detector._detect_device(frames)
+        intrinsics = jax.lax.with_sharding_constraint(intrinsics, intr_s)
+        return detector._detect_device(frames, intrinsics)
 
-    return jax.jit(fn, in_shardings=(in_s,))
+    return jax.jit(fn, in_shardings=(in_s, intr_s))
 
 
 def gather_detections(out: dict) -> dict:

@@ -44,11 +44,15 @@ class CameraChannel:
 class VisionNode:
     def __init__(self, detector, channels: list,
                  tag_sender=None, measurement_mode: bool = False,
-                 timing_csv_path: str | None = None):
+                 timing_csv_path: str | None = None,
+                 intrinsics=None):
         """detector: TPUDetector; channels: list[CameraChannel] — channel i
-        consumes batch row i."""
+        consumes batch row i. intrinsics: optional (B, 9) per-camera
+        calibration rows (each camera gets its own
+        calibrationmatrix_<serial>.json in the reference)."""
         self.detector = detector
         self.channels = channels
+        self.intrinsics = intrinsics
         self.tag_sender = tag_sender
         self.timing = TimingLogger(timing_csv_path) if measurement_mode \
             else None
@@ -69,7 +73,7 @@ class VisionNode:
         raw device output handle — computation overlaps host work; the
         double-buffering role of the reference's pinned-memory MemcpyAsync,
         cuda_frc971.h:107-145)."""
-        return self.detector.detect_raw(frames)
+        return self.detector.detect_raw(frames, self.intrinsics)
 
     def process_batch(self, frames: np.ndarray, capture_stamps=None,
                       pending=None):
@@ -84,7 +88,7 @@ class VisionNode:
         if pending is not None:
             batch_dets = self.detector.unpack(pending)
         else:
-            batch_dets = self.detector.detect(frames)
+            batch_dets = self.detector.detect(frames, self.intrinsics)
         det_time = time.monotonic() - t0
         if frames.ndim == 2:
             batch_dets = [batch_dets]

@@ -60,6 +60,9 @@ def _stages(det):
             c = dec.refine_edges(gray, c, st["quad_valid"], intr, dist)
         return {"corners_full": c}
 
+    # (stage taps use the static config intrinsics; per-camera arrays go
+    # through the detector's dynamic path)
+
     def s_decode(gray, st):
         return dec.decode_quads(gray, st["corners_full"],
                                 st["quad_valid"], fam, cm)

@@ -116,7 +116,9 @@ def test_mesh_sharded_detection():
         imgs.append(img)
     batch = jax.device_put(
         np.stack(imgs), NamedSharding(mesh, P("cameras", None, None)))
-    out = jax.tree_util.tree_map(np.asarray, fn(batch))
+    intr = jax.device_put(det.default_intrinsics(4),
+                          NamedSharding(mesh, P("cameras", None)))
+    out = jax.tree_util.tree_map(np.asarray, fn(batch, intr))
     for i in range(4):
         ids = out["tag_id"][i][out["ok"][i]]
         assert ids.tolist() == [10 + i]

@@ -145,3 +145,19 @@ def test_detect_yuyv(tpu_detector):
     yuyv[:, ::2] = img          # Y bytes carry the gray image
     dets = tpu_detector.detect_yuyv(yuyv)
     assert [d.tag_id for d in dets] == [42]
+
+
+def test_per_camera_intrinsics(tpu_detector):
+    """Identical frames with different per-row focal lengths must yield
+    correspondingly different pose depths (each camera carries its own
+    calibration, as in the reference's per-serial calibration files)."""
+    img, _ = render_scene([42], [simple_square_corners(160, 80, 36)], W, H)
+    batch = np.stack([img, img])
+    intr = tpu_detector.default_intrinsics(2)
+    intr[1, 0] *= 2.0    # camera 1: doubled fx
+    intr[1, 1] *= 2.0
+    res = tpu_detector.detect(batch, intrinsics=intr)
+    t0 = res[0][0].pose_t
+    t1 = res[1][0].pose_t
+    # doubled focal length -> same pixels imply ~double the distance
+    assert 1.8 < t1[2] / t0[2] < 2.2
