@@ -214,7 +214,7 @@ def test_vision_node_transform_and_sort():
             self.pose_t = np.asarray(t)
 
     class FakeDetector:
-        def detect(self, frames):
+        def detect(self, frames, intrinsics=None):
             return [[FakeDet(5, [0, 0, 3.0]), FakeDet(1, [0, 0, 1.0])]]
 
     poses = []
