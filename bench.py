@@ -60,12 +60,14 @@ def main():
     if not tags_ok:
         print(f"WARNING: detection regression: {ids}", file=sys.stderr)
 
+    intr = jnp.asarray(det.default_intrinsics(batch))
+
     # warmup
-    out = det._fn(g)
+    out = det._fn(g, intr)
     np.asarray(out["ok"]).sum()
 
     t0 = time.time()
-    outs = [det._fn(g) for _ in range(iters)]
+    outs = [det._fn(g, intr) for _ in range(iters)]
     for o in outs:
         o["ok"].block_until_ready()
     _ = np.asarray(outs[-1]["ok"]).sum()
