@@ -205,3 +205,52 @@ def test_replay_bag_tool(tmp_path):
     replay_main([bag, "--out", out, "--fx", "300", "--fy", "300"])
     rec = json.loads(open(out).readline())
     assert [d["id"] for d in rec["detections"]] == [42]
+
+
+def test_calibrate_camera_cli_flow(tmp_path):
+    """Drive the intrinsic-calibration CLI loop with synthetic charuco
+    frames rendered from a known camera model; the recovered intrinsics
+    must be close to truth (the charuco_calibrate launch flow)."""
+    cv2 = pytest.importorskip("cv2")
+    from ros_vision_tpu.calib.intrinsic import CharucoCalibrator
+    from ros_vision_tpu.tools.calibrate_camera import run
+
+    fx, fy, cx, cy = 600.0, 600.0, 320.0, 240.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+    board = cv2.aruco.CharucoBoard(
+        (11, 8), 0.02, 0.015,
+        cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_100))
+    board_img = board.generateImage((1100, 800))
+    rng = np.random.default_rng(0)
+    views = []
+    corners3d = np.array([[0, 0, 0], [0.22, 0, 0], [0.22, 0.16, 0],
+                          [0, 0.16, 0]], np.float32)
+    for i in range(40):
+        rvec = rng.uniform(-0.35, 0.35, 3)
+        tvec = np.array([rng.uniform(-0.05, 0.05),
+                         rng.uniform(-0.04, 0.04),
+                         rng.uniform(0.35, 0.6)])
+        img_pts, _ = cv2.projectPoints(corners3d, rvec, tvec, K, None)
+        h = cv2.getPerspectiveTransform(
+            np.array([[0, 0], [1100, 0], [1100, 800], [0, 800]], np.float32),
+            img_pts.reshape(4, 2).astype(np.float32))
+        view = cv2.warpPerspective(board_img, h, (640, 480),
+                                   borderValue=255)
+        views.append(view)
+
+    class SeqCam:
+        def __init__(self):
+            self.i = 0
+
+        def read(self):
+            v = views[self.i % len(views)]
+            self.i += 1
+            return v
+
+    cal = CharucoCalibrator(max_frames=3)
+    path = run(SeqCam(), cal, "testcam", str(tmp_path), max_seconds=30)
+    assert path is not None
+    data = json.loads(open(path).read())
+    m = np.asarray(data["camera_matrix"])
+    assert abs(m[0, 0] - fx) / fx < 0.1
+    assert abs(m[1, 2] - cy) / cy < 0.15
