@@ -10,6 +10,7 @@ checkpoint (scripts/convert_yolo_weights.py converts Ultralytics .pt).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -69,6 +70,22 @@ class ModelInference:
     def output_shape(self):
         a = sum((self.img_size // s) ** 2 for s in (8, 16, 32))
         return (1, 4 + self.num_classes, a)
+
+    def save_checkpoint(self, path: str):
+        """Orbax checkpoint (the JAX-ecosystem persistence path; .npz
+        remains the portable format)."""
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   jax.tree_util.tree_map(np.asarray, self.variables))
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree_util.tree_map(np.asarray, self.variables)
+        self.variables = jax.tree_util.tree_map(
+            jnp.asarray, ckptr.restore(os.path.abspath(path), target))
 
     def load_params(self, path: str):
         import pickle

@@ -254,3 +254,28 @@ def test_calibrate_camera_cli_flow(tmp_path):
     m = np.asarray(data["camera_matrix"])
     assert abs(m[0, 0] - fx) / fx < 0.1
     assert abs(m[1, 2] - cy) / cy < 0.15
+
+
+def test_model_checkpoint_roundtrip(tmp_path):
+    """Orbax + npz persistence of detector weights (checkpoint/resume)."""
+    import jax.numpy as jnp
+    from ros_vision_tpu.models.infer import ModelInference
+    m = ModelInference(num_classes=1, scale="n", img_size=64,
+                       dtype=jnp.float32)
+    import jax
+    leaf0 = jax.tree_util.tree_leaves(m.variables)[0]
+    # npz
+    npz = str(tmp_path / "w.npz")
+    m.save_params(npz)
+    m2 = ModelInference(num_classes=1, scale="n", img_size=64,
+                        params_path=npz, dtype=jnp.float32)
+    leaf2 = jax.tree_util.tree_leaves(m2.variables)[0]
+    assert np.array_equal(np.asarray(leaf0), np.asarray(leaf2))
+    # orbax
+    ck = str(tmp_path / "ckpt")
+    m.save_checkpoint(ck)
+    m3 = ModelInference(num_classes=1, scale="n", img_size=64,
+                        dtype=jnp.float32)
+    m3.load_checkpoint(ck)
+    leaf3 = jax.tree_util.tree_leaves(m3.variables)[0]
+    assert np.array_equal(np.asarray(leaf0), np.asarray(leaf3))
