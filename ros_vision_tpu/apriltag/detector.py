@@ -116,11 +116,10 @@ class TPUDetector:
                               and (cfg.width // 2) * (cfg.height // 2)
                               <= 300_000)
         if use_pallas_ccl:
-            labels, sizes = ccl.label_components_hybrid(threshim)
+            labels, sizes, ranks = ccl.label_components_hybrid(threshim)
         else:
-            labels, sizes = ccl.label_components(threshim)
-        pts, _counts = quadfit.boundary_points(threshim, labels, sizes,
-                                               self._qcfg)
+            labels, sizes, ranks = ccl.label_components(threshim)
+        pts, _counts = quadfit.boundary_points(threshim, ranks, self._qcfg)
         qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)
         corners = dec.adjust_pixel_centers(qf["corners"])
         qvalid = qf["quad_valid"]

@@ -1,5 +1,12 @@
 """Connected-components labeling on TPU.
 
+Outputs per pixel: the canonical min-index label, the exact component size,
+and a dense rank in [1, MAX_BLOBS] over "big" components (size >= min_blob)
+— the same 2048-blob id compression the reference bakes into its packed
+point types (points.h:171 kMaxBlobs = 2048). Ranks let the boundary stage
+build single-int32 blob-pair sort keys (11+11 bits) instead of sorting two
+full label words, and they ride the size gather for free.
+
 TPU-native replacement for the reference's BKE union-find labeling
 (labeling_allegretti_2019_BKE.cu:466-492). Atomics/pointer-chasing union-find
 is hostile to the TPU's dense SIMD model, so we use a dense
@@ -22,6 +29,29 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.int32(2 ** 30)
+
+MAX_BLOBS = 2048          # dense big-blob id space (points.h:171 kMaxBlobs)
+_SIZE_BITS = 20           # sizes < 2^20 (decimated pixels; w*h < 2^22 cap)
+
+
+def _finish(p: jnp.ndarray, b: int, n: int, min_blob: int):
+    """Shared epilogue: per-pixel (sizes, ranks) from converged parents via
+    ONE packed gather. ranks = dense 1..MAX_BLOBS ids over components with
+    size >= min_blob (0 elsewhere), ordered by root pixel index."""
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
+    flat = (p + offs).reshape(-1)
+    sizes_at_root = jnp.zeros((b * n,), jnp.int32).at[flat].add(
+        jnp.ones((b * n,), jnp.int32)).reshape(b, n)
+    is_big_root = (p == jnp.arange(n, dtype=jnp.int32)[None, :]) & \
+        (sizes_at_root >= min_blob)
+    from ros_vision_tpu.ops.scan import cumsum_mxu
+    rank_at_root = cumsum_mxu(
+        is_big_root.astype(jnp.float32)).astype(jnp.int32)
+    rank_at_root = jnp.where(is_big_root & (rank_at_root <= MAX_BLOBS),
+                             rank_at_root, 0)
+    packed_at_root = (rank_at_root << _SIZE_BITS) | sizes_at_root
+    packed = jnp.take_along_axis(packed_at_root, p, axis=1)
+    return packed & ((1 << _SIZE_BITS) - 1), packed >> _SIZE_BITS
 
 # (dy, dx, diagonal?)
 _OFFSETS = [
@@ -86,16 +116,19 @@ def _flip_reset(reset: jnp.ndarray, axis: int) -> jnp.ndarray:
     return shifted.at[tuple(idx)].set(True)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "sweep_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "sweep_iters",
+                                             "min_blob"))
 def label_components(threshim: jnp.ndarray, max_iters: int = 32,
-                     sweep_iters: int = 1):
+                     sweep_iters: int = 1, min_blob: int = 25):
     """Label same-value components of a {0,127,255} image.
 
     threshim: (B, H, W) uint8.
-    Returns (labels, sizes): labels (B, H*W) int32 = min flat index of each
-    pixel's component; sizes (B, H*W) int32 = component size gathered back to
-    every pixel (the reference exposes per-blob sizes the same way for the
-    min-cluster-pixel gates, labeling_allegretti_2019_BKE.cu:411-460).
+    Returns (labels, sizes, ranks): labels (B, H*W) int32 = min flat index of
+    each pixel's component; sizes (B, H*W) int32 = component size gathered
+    back to every pixel (the reference exposes per-blob sizes the same way
+    for the min-cluster-pixel gates,
+    labeling_allegretti_2019_BKE.cu:411-460); ranks (B, H*W) int32 = dense
+    1..MAX_BLOBS ids over size>=min_blob components (0 for small ones).
 
     Hybrid schedule tuned for TPU: gathers/scatters are the expensive ops
     (XLA lowers them to near-scalar loops), while shifted min-convolutions
@@ -137,19 +170,15 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
 
     p, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True),
                                               jnp.int32(0)))
-    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
-    flat = (p + offs).reshape(-1)
-    sizes_at_root = jnp.zeros((b * n,), jnp.int32).at[flat].add(
-        jnp.ones((b * n,), jnp.int32)).reshape(b, n)
-    sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
-    return p, sizes
+    sizes, ranks = _finish(p, b, n, min_blob)
+    return p, sizes, ranks
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "pallas_sweeps",
-                                             "interpret"))
+                                             "interpret", "min_blob"))
 def label_components_hybrid(threshim: jnp.ndarray, max_iters: int = 16,
                             pallas_sweeps: int = 192,
-                            interpret: bool = False):
+                            interpret: bool = False, min_blob: int = 25):
     """label_components with the Pallas VMEM propagation kernel doing the
     bulk of the work: each outer round runs `pallas_sweeps` on-chip
     neighbor-min sweeps (ops/ccl_pallas.py), then ONE scatter-min hook +
@@ -179,9 +208,5 @@ def label_components_hybrid(threshim: jnp.ndarray, max_iters: int = 16,
     p, _, _ = jax.lax.while_loop(
         lambda s: s[1] & (s[2] < max_iters), body,
         (init, jnp.bool_(True), jnp.int32(0)))
-    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
-    flat = (p + offs).reshape(-1)
-    sizes_at_root = jnp.zeros((b * n,), jnp.int32).at[flat].add(
-        jnp.ones((b * n,), jnp.int32)).reshape(b, n)
-    sizes = jnp.take_along_axis(sizes_at_root, p, axis=1)
-    return p, sizes
+    sizes, ranks = _finish(p, b, n, min_blob)
+    return p, sizes, ranks

@@ -74,6 +74,30 @@ class QuadFitConfig:
     # visited in a strided order so that when the K cap overflows, dropped
     # points spread across the whole image instead of truncating the bottom
 
+    @property
+    def max_boundary_pixels(self) -> int:
+        """First-stage compaction cap: pixels that emit any boundary point
+        (each such pixel emits 1-4 points; ~2 on average)."""
+        return (3 * self.max_points) // 4
+
+
+# bit-packing layout (the reference packs the same fields into 64-bit
+# QuadBoundaryPoint / IndexPoint words, points.h:25-161; with dense
+# <=2048 blob ranks we fit the pair key and the coordinate payload in one
+# int32 each)
+RANK_BITS = 11                   # 2048 blobs (points.h:171 kMaxBlobs)
+KEY_INVALID = jnp.int32(1) << (2 * RANK_BITS)
+
+
+def pack_payload(x2, y2, gx, gy):
+    """x-major point payload: sorting by it within a blob-pair key yields
+    xmin/xmax as the first/last element of each segment."""
+    return (x2 << 15) | (y2 << 4) | ((gx + 1) << 2) | (gy + 1)
+
+
+def unpack_payload(p):
+    return p >> 15, (p >> 4) & 0x7FF, ((p >> 2) & 0x3) - 1, (p & 0x3) - 1
+
 
 def fit_line_f32(m, n):
     """Vectorized fit_line from window moments m[..., 6] =
@@ -94,82 +118,99 @@ def fit_line_f32(m, n):
             "err": n * mse, "mse": mse}
 
 
-def boundary_points(threshim, labels, sizes, cfg: QuadFitConfig):
+_DIRS = ((1, 0), (0, 1), (-1, 1), (1, 1))
+
+
+def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     """Emit black/white blob-pair boundary points and compact to K slots.
 
     Equivalent of the BlobDiff kernel + nonzero compaction
     (apriltag_gpu.cu:226-360, 788-802). Coordinates are in double-resolution
-    decimated units: x = 2*px + dx, y = 2*py + dy.
-    Returns dict(key_lo, key_hi, x2, y2, gx, gy) of (B, K) and counts (B,).
+    decimated units: x = 2*px + dx, y = 2*py + dy. `ranks` (B, H*W) are the
+    dense big-blob ids from ops.ccl (0 = blob below MIN_BLOB_PIXELS).
+
+    Two-stage compaction sized for TPU scatter costs (which scale with the
+    index-array length): stage A compacts the (B, H*W) pixel set down to
+    pixels that emit anything (payload: pixel index + per-direction validity
+    and gradient-sign bits in one int32); stage B expands 4 directions per
+    kept pixel and compacts to K point slots. This avoids any scatter over
+    the raw (B, 4*H*W) candidate space.
+
+    Returns (dict(key, pack2) of (B, K) int32, counts (B,)).
+      key   = (lo_rank-1) << 11 | (hi_rank-1)  (blob-pair identity)
+      pack2 = x-major payload (pack_payload)
     """
     b, h, w = threshim.shape
+    n = h * w
+    k = cfg.max_points
     v = threshim.astype(jnp.int32)
-    limg = labels.reshape(b, h, w)
-    simg = sizes.reshape(b, h, w)
-    big = simg >= MIN_BLOB_PIXELS
+    rimg = ranks.reshape(b, h, w)
+    big = rimg > 0
 
-    # interior mask (x in [1, w-2], y in [1, h-2]) matching the oracle loops
     xs = jnp.arange(w)
     ys = jnp.arange(h)
     interior = ((xs >= 1) & (xs <= w - 2))[None, None, :] & \
         ((ys >= 1) & (ys <= h - 2))[None, :, None]
 
-    valids, los, his, x2s, y2s, gxs, gys = [], [], [], [], [], [], []
-    for dx, dy in ((1, 0), (0, 1), (-1, 1), (1, 1)):
+    # per-pixel candidate mask + gradient-sign bits, one int32 image
+    maskbits = jnp.zeros((b, h, w), jnp.int32)
+    for d, (dx, dy) in enumerate(_DIRS):
         nv = jnp.roll(v, (-dy, -dx), axis=(1, 2))
-        nl = jnp.roll(limg, (-dy, -dx), axis=(1, 2))
         nbig = jnp.roll(big, (-dy, -dx), axis=(1, 2))
         ok = interior & ((v + nv) == 255) & big & nbig
-        # neighbor must also be interior (roll wraps; interior excludes
-        # borders on both sides so wrapped values are always masked)
-        g = jnp.sign(nv - v)  # +1 if neighbor white
-        lo = jnp.minimum(limg, nl)
-        hi = jnp.maximum(limg, nl)
-        x2 = 2 * xs[None, None, :] + dx + jnp.zeros_like(v)
-        y2 = 2 * ys[None, :, None] + dy + jnp.zeros_like(v)
-        valids.append(ok)
-        los.append(lo)
-        his.append(hi)
-        x2s.append(x2)
-        y2s.append(y2)
-        gxs.append(dx * g)
-        gys.append(dy * g)
+        gpos = nv > v                                   # +1 gradient sign
+        maskbits = maskbits | (ok.astype(jnp.int32) << d) \
+            | ((ok & gpos).astype(jnp.int32) << (4 + d))
 
-    # largest divisor of h not exceeding the configured interleave
+    # strided row interleave for overflow fairness (see row_interleave)
     ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
               if h % r == 0)
+    pixidx = (ys[:, None] * w + xs[None, :]) + jnp.zeros_like(v)
+    mask_f = maskbits.reshape(b, h // ri, ri, w).swapaxes(1, 2).reshape(b, n)
+    pix_f = pixidx.reshape(b, h // ri, ri, w).swapaxes(1, 2).reshape(b, n)
 
-    def flat(lst):
-        x = jnp.stack(lst, axis=1)                      # (B, 4, H, W)
-        # strided row interleave: rows 0, ri, 2ri, ..., 1, ri+1, ...
-        x = x.reshape(b, 4, h // ri, ri, w).swapaxes(2, 3)
-        return x.reshape(b, -1)
+    # ---- stage A: compact pixels that emit any point --------------------
+    p_cap = cfg.max_boundary_pixels
+    pxa, _ = segs.compact((mask_f & 0xF) != 0,
+                          {"pm": (pix_f << 8) | mask_f}, p_cap,
+                          {"pm": jnp.int32(0)})
+    pm = pxa["pm"]                                       # (B, P)
+    pix = pm >> 8
 
-    # pack (x2, y2, gx, gy) into one int32 word (11+11+2+2 bits; the same
-    # idea as the reference's 64-bit QuadBoundaryPoint packing,
-    # points.h:25-161) — halves the compaction + sort payload traffic.
-    # 11-bit coords bound the image at 2048x2048 full-res (the reference
-    # has the equivalent w*h < 2^22 cap, apriltag_gpu.cu:774).
-    assert 2 * w < 2048 and 2 * h < 2048, "image too large for 11-bit coords"
+    # ---- stage B: expand 4 directions per pixel, compact to K -----------
+    dvalid = jnp.stack([(pm >> d) & 1 for d in range(4)], axis=2) > 0
+    cand = jnp.broadcast_to((pix << 2)[:, :, None],
+                            (b, p_cap, 4)) | jnp.arange(4, dtype=jnp.int32)
+    gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=2)
+    pts, counts = segs.compact(
+        dvalid.reshape(b, -1),
+        {"pd": cand.reshape(b, -1), "g": gbits.reshape(b, -1)},
+        k, {"pd": jnp.int32(-1), "g": jnp.int32(0)})
 
-    def pack(x2, y2, gx, gy):
-        return (x2 | (y2 << 11) | ((gx + 1) << 22) | ((gy + 1) << 24))
-
-    payload = {
-        "key_lo": flat(los), "key_hi": flat(his),
-        "packed": flat([pack(x, y, gx_, gy_) for x, y, gx_, gy_ in
-                        zip(x2s, y2s, gxs, gys)]),
-    }
-    fill = {"key_lo": _BIGI, "key_hi": _BIGI, "packed": jnp.int32(0)}
-    return segs.compact(flat(valids), payload, cfg.max_points, fill)
-
-
-def unpack_points(packed):
-    x2 = packed & 0x7FF
-    y2 = (packed >> 11) & 0x7FF
-    gx = ((packed >> 22) & 0x3) - 1
-    gy = ((packed >> 24) & 0x3) - 1
-    return x2, y2, gx, gy
+    # ---- reconstruct key/payload for the K kept points -------------------
+    pd = pts["pd"]
+    valid = pd >= 0
+    pixk = jnp.where(valid, pd >> 2, 0)
+    dirk = pd & 3
+    dxs = jnp.asarray([d[0] for d in _DIRS], jnp.int32)[dirk]
+    dys = jnp.asarray([d[1] for d in _DIRS], jnp.int32)[dirk]
+    px = pixk % w
+    py = pixk // w
+    assert 2 * w < 2048 and 2 * h < 2048, \
+        "image too large for 11-bit coords (w*h < 2^22, apriltag_gpu.cu:774)"
+    x2 = 2 * px + dxs
+    y2 = 2 * py + dys
+    g = 2 * pts["g"] - 1                                # {0,1} -> {-1,+1}
+    rflat = ranks if ranks.ndim == 2 else ranks.reshape(b, n)
+    r0 = jnp.take_along_axis(rflat, pixk, axis=1)
+    r1 = jnp.take_along_axis(
+        rflat, jnp.clip(pixk + dys * w + dxs, 0, n - 1), axis=1)
+    lo = jnp.minimum(r0, r1) - 1
+    hi = jnp.maximum(r0, r1) - 1
+    key = jnp.where(valid & (lo >= 0),
+                    (lo << RANK_BITS) | hi, KEY_INVALID)
+    pack2 = pack_payload(x2, y2, dxs * g, dys * g)
+    return {"key": key, "pack2": jnp.where(valid, pack2, 0)}, counts
 
 
 def _sort_by(keys, payloads, num_keys):
@@ -183,36 +224,67 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
 
     Returns dict with corners (B, NQ, 4, 2) in decimated pixel coords,
     quad_valid (B, NQ), n_quads (B,), plus stage taps.
+
+    TPU cost model (measured on v5e): gathers/scatters/segment-reductions
+    cost ~0.7-1.2 ms per 131k-index op while elementwise ops and MXU cumsums
+    are ~free, so per-segment values are kept in (B, NSEG1) tables built with
+    ONE scatter each and broadcast back with ONE combined multi-channel
+    slice-gather per phase; per-segment sums come from prefix-sum differences
+    at segment boundary indices (NSEG-sized gathers) instead of segment_sum.
     """
-    b, k = pts["key_lo"].shape
+    b, k = pts["key"].shape
     nseg = cfg.max_segments
     nseg1 = nseg + 1
+    i_global = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
 
-    # ---- sort by blob-pair key, assign segment ids ----------------------
-    (lo_s, hi_s), (packed,) = _sort_by(
-        [pts["key_lo"], pts["key_hi"]], [pts["packed"]], num_keys=2)
-    x2, y2, gx, gy = unpack_points(packed)
-    valid_pt = lo_s < _BIGI
-    seg = segs.segment_ids_from_sorted_keys(lo_s, hi_s, valid=valid_pt,
+    # ---- sort by (blob-pair key, x-major payload): segment ids + exact
+    #      xmin/xmax for free (first/last element of each segment) ---------
+    (key_s, pack2), _ = _sort_by([pts["key"], pts["pack2"]], [], num_keys=2)
+    x2, y2, gx, gy = unpack_payload(pack2)
+    valid_pt = key_s < KEY_INVALID
+    seg = segs.segment_ids_from_sorted_keys(key_s, valid=valid_pt,
                                             max_segments=nseg)
 
-    # ---- per-segment stats & filters (SelectBlobs, apriltag_gpu.cu:522-575)
-    fx2 = x2.astype(jnp.float32)
-    fy2 = y2.astype(jnp.float32)
-    count = segs.batched_segment_sum(valid_pt.astype(jnp.int32), seg, nseg1)
-    xmin = segs.batched_segment_min(jnp.where(valid_pt, x2, _BIGI), seg, nseg1)
-    xmax = segs.batched_segment_max(jnp.where(valid_pt, x2, -_BIGI), seg, nseg1)
-    ymin = segs.batched_segment_min(jnp.where(valid_pt, y2, _BIGI), seg, nseg1)
-    ymax = segs.batched_segment_max(jnp.where(valid_pt, y2, -_BIGI), seg, nseg1)
+    # segment boundary tables: one scatter each (role of the cub
+    # ReduceByKey extents pass, apriltag_gpu.cu:829-862)
+    new_seg = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.bool_), seg[:, 1:] != seg[:, :-1]], axis=1)
+    last_seg = jnp.concatenate(
+        [seg[:, 1:] != seg[:, :-1], jnp.ones((b, 1), jnp.bool_)], axis=1)
+    start_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        jnp.zeros((b, nseg1), jnp.int32),
+        jnp.where(new_seg & valid_pt, seg, nseg), i_global)
+    end_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        jnp.full((b, nseg1), -1, jnp.int32),
+        jnp.where(last_seg & valid_pt, seg, nseg), i_global)
+    count = jnp.maximum(end_tab - start_tab + 1, 0)
+
+    xmin = segs.take1(x2, jnp.clip(start_tab, 0, k - 1))
+    xmax = segs.take1(x2, jnp.clip(end_tab, 0, k - 1))
+    ymin = jax.vmap(lambda t, s, v: t.at[s].min(v))(
+        jnp.full((b, nseg1), _BIGI),
+        jnp.where(valid_pt, seg, nseg), jnp.where(valid_pt, y2, _BIGI))
+    ymax = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        jnp.zeros((b, nseg1), jnp.int32),
+        jnp.where(valid_pt, seg, nseg), jnp.where(valid_pt, y2, 0))
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
     cy = (ymin + ymax).astype(jnp.float32) * 0.5 - 0.028581
 
-    cx_pt = segs.take1(cx, seg)
-    cy_pt = segs.take1(cy, seg)
-    dxp = fx2 - cx_pt
-    dyp = fy2 - cy_pt
-    dot = segs.batched_segment_sum(
-        jnp.where(valid_pt, dxp * gx + dyp * gy, 0.0), seg, nseg1)
+    # broadcast (cx, cy) to points: one 2-channel slice-gather
+    cxy_pt = segs.take1(jnp.stack([cx, cy], -1), seg)
+    fx2 = x2.astype(jnp.float32)
+    fy2 = y2.astype(jnp.float32)
+    dxp = fx2 - cxy_pt[..., 0]
+    dyp = fy2 - cxy_pt[..., 1]
+
+    # border-orientation dot product: per-segment sum via prefix-sum
+    # differences at segment ends (exact enough in f32: terms are centered)
+    dterm = jnp.where(valid_pt, dxp * gx + dyp * gy, 0.0)
+    dcum = scan.cumsum_mxu(dterm)
+    dot = (segs.take1(dcum, jnp.clip(end_tab, 0, k - 1))
+           - jnp.where(start_tab > 0,
+                       segs.take1(dcum, jnp.clip(start_tab - 1, 0, k - 1)),
+                       0.0))
 
     h2, w2 = decim.shape[1], decim.shape[2]
     max_perimeter = 3 * (2 * w2 + 2 * h2)
@@ -231,39 +303,42 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     #      seg (11 bits) << 20 | theta fixed-point (20 bits) — the same
     #      fixed-point-angle radix-sort trick as the reference's IndexPoint
     #      (points.h:169-279, 28-bit theta; 20 bits = 6e-6 rad resolution,
-    #      far below boundary-point angular spacing) -------------------
+    #      far below boundary-point angular spacing). Segments failing the
+    #      filters are NOT remapped here — they sort and fit like any other
+    #      (slots are fixed either way) and seg_ok masks them at the end. --
     theta = jnp.arctan2(dyp, dxp)
     theta_fx = jnp.clip(((theta + math.pi) * (2 ** 20 / (2 * math.pi)))
                         .astype(jnp.int32), 0, 2 ** 20 - 1)
-    seg_ok_pt = segs.take1(seg_ok, seg)
-    seg_for_sort = jnp.where(seg_ok_pt & valid_pt, seg, nseg)
-    sort_key = (seg_for_sort << 20) | theta_fx
-    (sort_key_s,), (packed,) = _sort_by([sort_key], [packed], num_keys=1)
+    sort_key = (jnp.where(valid_pt, seg, nseg) << 20) | theta_fx
+    pack3 = (x2 << 11) | y2
+    (sort_key_s, pack3), _ = _sort_by([sort_key, pack3], [], num_keys=2)
     seg = sort_key_s >> 20
-    x2, y2, gx, gy = unpack_points(packed)
+    x2 = pack3 >> 11
+    y2 = pack3 & 0x7FF
     valid_pt = seg < nseg
 
-    # position within segment + segment start/size per point: build a
-    # (B, NSEG1) start table by scatter, broadcast back by gather (cheaper
-    # on TPU than a log-depth cummax scan over K)
-    i_global = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
+    # start table for the theta order (sizes/count are order-invariant)
     new_seg = jnp.concatenate(
         [jnp.ones((b, 1), jnp.bool_), seg[:, 1:] != seg[:, :-1]], axis=1)
-    start_table = jnp.zeros((b, nseg1), jnp.int32)
-    start_table = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        start_table, jnp.where(new_seg, seg, nseg), i_global)
-    start = segs.take1(start_table, seg)
+    start_tab2 = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        jnp.zeros((b, nseg1), jnp.int32),
+        jnp.where(new_seg & valid_pt, seg, nseg), i_global)
+
+    # combined per-segment broadcast: [start, count, cx, cy]
+    ptab = jnp.stack([start_tab2.astype(jnp.float32),
+                      count.astype(jnp.float32), cx, cy], axis=-1)
+    pbc = segs.take1(ptab, seg)
+    start = pbc[..., 0].astype(jnp.int32)
+    sz_pt = pbc[..., 1].astype(jnp.int32)
     pos = i_global - start
-    sz_pt = segs.take1(segs.batched_segment_sum(
-        valid_pt.astype(jnp.int32), seg, nseg1), seg)
 
     # ---- line-fit moments, segmented prefix sums ------------------------
     # decimated-pixel coords with apriltag's +0.5 center convention
     px = x2.astype(jnp.float32) * 0.5 + 0.5
     py = y2.astype(jnp.float32) * 0.5 + 0.5
     # per-segment centering for f32 conditioning (translation-invariant)
-    ccx = segs.take1(cx, seg) * 0.5 + 0.5
-    ccy = segs.take1(cy, seg) * 0.5 + 0.5
+    ccx = pbc[..., 2] * 0.5 + 0.5
+    ccy = pbc[..., 3] * 0.5 + 0.5
     xc = px - ccx
     yc = py - ccy
     ix = (px).astype(jnp.int32)
@@ -272,13 +347,15 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     ixc = jnp.clip(ix, 1, w2 - 2)
     iyc = jnp.clip(iy, 1, h2 - 2)
 
-    def img_at(dy, dx):
-        flat = decim.reshape(b, -1).astype(jnp.float32)
-        idx = (iyc + dy) * w2 + (ixc + dx)
-        return jnp.take_along_axis(flat, idx, axis=1)
-
-    gimx = img_at(0, 1) - img_at(0, -1)
-    gimy = img_at(1, 0) - img_at(-1, 0)
+    # gradient magnitude weights: precompute the 2-channel gradient image
+    # (elementwise) and fetch both channels with ONE slice-gather
+    dimg = decim.astype(jnp.float32)
+    gximg = jnp.pad(dimg[:, :, 2:] - dimg[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    gyimg = jnp.pad(dimg[:, 2:, :] - dimg[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
+    gstack = jnp.stack([gximg.reshape(b, -1), gyimg.reshape(b, -1)], axis=-1)
+    gpt = segs.take1(gstack, iyc * w2 + ixc)
+    gimx = gpt[..., 0]
+    gimy = gpt[..., 1]
     wgt = jnp.where(inb, jnp.sqrt(gimx * gimx + gimy * gimy) + 1.0, 1.0)
     wgt = wgt * WEIGHT_SCALE
     wgt = jnp.where(valid_pt, wgt, 0.0)
@@ -331,49 +408,57 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     is_peak = fit_ok_pt & (errs > nxt) & (errs > prv)
 
     # ---- top-10 maxima per segment (peak select/sort/extents,
-    #      apriltag_gpu.cu:1001-1078) -------------------------------------
-    npeaks = segs.batched_segment_sum(is_peak.astype(jnp.int32), seg, nseg1)
+    #      apriltag_gpu.cu:1001-1078). One sort by (segment, -error) with
+    #      the point position as payload; peak ranks, the 11th-peak
+    #      threshold and the qualifying top-10 then fall out of the sorted
+    #      layout with NSEG-sized table ops (no segment_sums or per-point
+    #      threshold gathers) ---------------------------------------------
     peak_seg = jnp.where(is_peak, seg, nseg)
-    (pseg_s, _), (perr_s,) = _sort_by([peak_seg, -errs], [errs], num_keys=2)
+    (pseg_s, negerr_s), (ppos_s,) = _sort_by([peak_seg, -errs], [pos],
+                                             num_keys=2)
+    perr_s = -negerr_s
     pnew = jnp.concatenate(
         [jnp.ones((b, 1), jnp.bool_), pseg_s[:, 1:] != pseg_s[:, :-1]],
         axis=1)
-    pstart_table = jnp.zeros((b, nseg1), jnp.int32)
-    pstart_table = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        pstart_table, jnp.where(pnew, pseg_s, nseg), i_global)
-    prank = i_global - segs.take1(pstart_table, pseg_s)
-    # threshold value = error of the (MAX_NMAXIMA)-th ranked peak (0-based
-    # rank 10 = 11th largest); keep strictly greater (apriltag semantics)
-    thresh = jnp.full((b, nseg1), -jnp.inf, jnp.float32)
-    is_thresh = (prank == MAX_NMAXIMA) & (pseg_s < nseg)
-    thresh = jax.vmap(lambda t, s, v, m: t.at[jnp.where(m, s, nseg)].set(
-        jnp.where(m, v, -jnp.inf), mode="drop"))(
-            thresh, pseg_s, perr_s, is_thresh)
-    use_thresh = segs.take1(npeaks, seg) > MAX_NMAXIMA
-    qualify = is_peak & jnp.where(use_thresh,
-                                  errs > segs.take1(thresh, seg), True)
-
-    nmax = segs.batched_segment_sum(qualify.astype(jnp.int32), seg, nseg1)
-    qrank = scan.segmented_cumsum_from_starts(
-        qualify.astype(jnp.float32), start).astype(jnp.int32) - 1
-    # scatter maxima positions into (B, NSEG1, 10)
-    slots = jnp.full((b, nseg1 * MAX_NMAXIMA + 1), 0, jnp.int32)
-    ok_slot = qualify & (qrank < MAX_NMAXIMA)
-    slot_idx = jnp.where(ok_slot, seg * MAX_NMAXIMA + qrank,
+    pstart_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
+        jnp.zeros((b, nseg1), jnp.int32),
+        jnp.where(pnew & (pseg_s < nseg), pseg_s, nseg), i_global)
+    # threshold = error of the (MAX_NMAXIMA)-th ranked peak (0-based rank 10
+    # = 11th largest); keep strictly greater (apriltag semantics). Segments
+    # with <= 10 peaks get -inf (keep everything).
+    p10 = jnp.clip(pstart_tab + MAX_NMAXIMA, 0, k - 1)
+    has10 = segs.take1(pseg_s, p10) == \
+        jnp.arange(nseg1, dtype=jnp.int32)[None, :]
+    thresh_tab = jnp.where(has10, segs.take1(perr_s, p10), -jnp.inf)
+    pbc2 = segs.take1(jnp.stack(
+        [pstart_tab.astype(jnp.float32), thresh_tab], -1), pseg_s)
+    prank = i_global - pbc2[..., 0].astype(jnp.int32)
+    qualify = (pseg_s < nseg) & (prank < MAX_NMAXIMA) & \
+        (perr_s > pbc2[..., 1])
+    nmax = jax.vmap(lambda t, s, v: t.at[s].add(v))(
+        jnp.zeros((b, nseg1), jnp.int32),
+        jnp.where(qualify, pseg_s, nseg), qualify.astype(jnp.int32))
+    # maxima positions land in slots by error rank, then get re-sorted
+    # ascending by position (the combo tables assume position order; invalid
+    # slots sort to the back and are zeroed under the nmax mask)
+    slots = jnp.full((b, nseg1 * MAX_NMAXIMA + 1), _BIGI, jnp.int32)
+    slot_idx = jnp.where(qualify, pseg_s * MAX_NMAXIMA + prank,
                          nseg1 * MAX_NMAXIMA)
     slots = jax.vmap(lambda s, ix, v: s.at[ix].set(v))(
-        slots, slot_idx, pos)
-    maxima = slots[:, :nseg1 * MAX_NMAXIMA].reshape(b, nseg1, MAX_NMAXIMA)
+        slots, slot_idx, ppos_s)
+    maxima = jax.lax.sort(
+        [slots[:, :nseg1 * MAX_NMAXIMA].reshape(b, nseg1, MAX_NMAXIMA)],
+        dimension=2, num_keys=1)[0]
+    maxima = jnp.where(
+        jnp.arange(MAX_NMAXIMA, dtype=jnp.int32)[None, None, :]
+        < nmax[..., None], maxima, 0)
 
     seg_quad_ok = seg_ok & (nmax >= 4)
 
     # ---- 45 pair fits + 210 combos (DoFitQuads,
     #      line_fit_filter.cu:1088-1212) ----------------------------------
-    seg_starts = jnp.zeros((b, nseg1), jnp.int32)
-    seg_starts = jax.vmap(lambda t, s, v, m: t.at[jnp.where(m, s, nseg)].set(
-        jnp.where(m, v, 0), mode="drop"))(
-            seg_starts, seg, i_global, new_seg & (seg < nseg))
-    seg_sz = segs.batched_segment_sum(valid_pt.astype(jnp.int32), seg, nseg1)
+    seg_starts = start_tab2
+    seg_sz = count
 
     def pref_at_seg(position):
         """(B, NSEG1, 10) segment-relative position -> prefix (…, 6)."""

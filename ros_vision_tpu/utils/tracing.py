@@ -40,12 +40,12 @@ def _stages(det):
         return {"decimated": decim, "threshim": t}
 
     def s_ccl(st):
-        labels, sizes = ccl.label_components(st["threshim"])
-        return {"labels": labels, "sizes": sizes}
+        labels, sizes, ranks = ccl.label_components(st["threshim"])
+        return {"labels": labels, "sizes": sizes, "ranks": ranks}
 
     def s_boundary(st):
         pts, counts = quadfit.boundary_points(
-            st["threshim"], st["labels"], st["sizes"], qcfg)
+            st["threshim"], st["ranks"], qcfg)
         return {"pts": pts, "counts": counts}
 
     def s_quadfit(st):

@@ -21,8 +21,11 @@ CX, CY = 160.0, 80.0
 @pytest.fixture(scope="module")
 def tpu_det():
     from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    # max_points sized so no fuzz scene overflows the cap: corner parity vs
+    # the oracle (which has no cap) is only meaningful without truncation;
+    # overflow robustness is covered separately (test_point_overflow_recall)
     return TPUDetector(DetectorConfig(
-        width=W, height=H, max_points=8192, max_segments=128, max_quads=16,
+        width=W, height=H, max_points=16384, max_segments=128, max_quads=16,
         fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True))
 
 

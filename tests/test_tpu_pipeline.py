@@ -45,7 +45,7 @@ def test_ccl_parity(scene):
     canon = np.full(labels.max() + 1, 1 << 30, np.int64)
     np.minimum.at(canon, labels.ravel(), flat.ravel())
     o_canon = canon[labels]
-    t_labels, t_sizes = ccl.label_components(jnp.asarray(o_thr)[None])
+    t_labels, t_sizes, _ = ccl.label_components(jnp.asarray(o_thr)[None])
     t_labels = np.asarray(t_labels[0]).reshape(h, w)
     mask = o_thr != 127
     assert np.array_equal(o_canon[mask], t_labels[mask])
@@ -65,8 +65,8 @@ def test_quadfit_parity(scene):
     def pipe(g):
         decim = thr.decimate2(g)
         t, _ = thr.adaptive_threshold(decim)
-        labels, sizes = ccl.label_components(t)
-        pts, counts = quadfit.boundary_points(t, labels, sizes, cfg)
+        labels, sizes, ranks = ccl.label_components(t)
+        pts, counts = quadfit.boundary_points(t, ranks, cfg)
         out = quadfit.cluster_and_fit(pts, decim, cfg)
         return counts, out["n_quads"], out["corners"]
 
