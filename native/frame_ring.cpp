@@ -99,7 +99,12 @@ uint64_t frame_ring_push(void* h, const uint8_t* buf, uint32_t size,
   if (id >= r->n_slots) {
     r->drops.fetch_add(1, std::memory_order_relaxed);
   }
-  s.seq_begin.store(2 * id + 1, std::memory_order_release);  // mark writing
+  // standard seqlock write protocol: the odd mark must be visible BEFORE
+  // any data write — a release STORE only orders PRIOR writes, so the data
+  // writes below could otherwise be hoisted above it on weakly-ordered
+  // CPUs. The release fence pins them after the mark.
+  s.seq_begin.store(2 * id + 1, std::memory_order_relaxed);  // mark writing
+  std::atomic_thread_fence(std::memory_order_release);
   s.timestamp_ns = timestamp_ns > 0 ? timestamp_ns : now_ns();
   s.frame_id = id;
   s.size = size;
@@ -139,7 +144,11 @@ uint32_t frame_ring_latest(void* h, uint8_t* out, uint32_t out_cap,
                   r->data + static_cast<size_t>(id % r->n_slots) *
                       r->slot_bytes,
                   size);
-      uint64_t b2 = s.seq_begin.load(std::memory_order_acquire);
+      // seqlock read validation: an acquire LOAD after the copy does not
+      // stop the copy's reads from sinking below it; the acquire fence
+      // orders copy-before-recheck.
+      std::atomic_thread_fence(std::memory_order_acquire);
+      uint64_t b2 = s.seq_begin.load(std::memory_order_relaxed);
       if (b2 == 2 * id + 2) {  // not torn by a wrap-around writer
         if (frame_id) *frame_id = id;
         if (timestamp_ns) *timestamp_ns = s.timestamp_ns;

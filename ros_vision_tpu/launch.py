@@ -204,6 +204,17 @@ class VisionSystem:
 
         fx, fy, cx, cy, dist = intrinsics or (
             600.0, 600.0, first.width / 2, first.height / 2, (0.0,) * 5)
+        # the detector's undistortion-aware refine path is gated on the
+        # STATIC config's dist being nonzero; derive that gate from ALL
+        # loaded calibrations, not just the first — otherwise cameras with
+        # real distortion rows would be silently refined without
+        # undistortion whenever camera 0 happens to have zero distortion
+        # (per-camera values still flow in dynamically via intr_rows)
+        if not any(dist):
+            for calib in per_camera_calibs:
+                if calib is not None and any(calib[4]):
+                    dist = calib[4]
+                    break
         det_kw = dict(width=first.width, height=first.height,
                       fx=fx, fy=fy, cx=cx, cy=cy, dist=tuple(dist),
                       estimate_pose=True)
@@ -218,13 +229,21 @@ class VisionSystem:
                 intr_rows[i] = [cfx, cfy, ccx, ccy, *cdist]
         self.intrinsics = intr_rows
 
+        # one NT sender per camera, keyed by location: each camera's
+        # detections get their own topic (the reference creates one
+        # AprilTagDataSender per camera keyed by serial,
+        # apriltags_cuda_detector.cu:155); a shared topic would have every
+        # camera overwriting the previous camera's detections each batch
         tag_sender = None
         if enable_nt:
             nt_cfg = ConfigLoader.get_network_tables_config()
             try:
                 from ros_vision_tpu.runtime.nt4 import AprilTagDataSender
-                tag_sender = AprilTagDataSender(
-                    "april_tags", nt_cfg.table_address, nt_cfg.table_name)
+                tag_sender = {
+                    ch.location: AprilTagDataSender(
+                        f"april_tags_{ch.location}", nt_cfg.table_address,
+                        nt_cfg.table_name)
+                    for ch in channels}
             except Exception as e:
                 log.warning("NT4 connection failed (%s); continuing", e)
 

@@ -53,8 +53,8 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_ = int(self.out_ch * self.e)
-        y = ConvBN(c_, self.k[0])(x)
-        y = ConvBN(self.out_ch, self.k[1])(y)
+        y = ConvBN(c_, self.k[0], name="cv1")(x)
+        y = ConvBN(self.out_ch, self.k[1], name="cv2")(y)
         if self.shortcut and x.shape[-1] == self.out_ch:
             y = x + y
         return y
@@ -69,11 +69,12 @@ class C3k(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_ = int(self.out_ch * self.e)
-        a = ConvBN(c_, 1)(x)
-        b = ConvBN(c_, 1)(x)
-        for _ in range(self.n):
-            a = Bottleneck(c_, True, 1.0, (3, 3))(a)
-        return ConvBN(self.out_ch, 1)(jnp.concatenate([a, b], -1))
+        a = ConvBN(c_, 1, name="cv1")(x)
+        b = ConvBN(c_, 1, name="cv2")(x)
+        for j in range(self.n):
+            a = Bottleneck(c_, True, 1.0, (3, 3), name=f"m{j}")(a)
+        return ConvBN(self.out_ch, 1,
+                      name="cv3")(jnp.concatenate([a, b], -1))
 
 
 class C3k2(nn.Module):
@@ -86,17 +87,18 @@ class C3k2(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_ = int(self.out_ch * self.e)
-        y = ConvBN(2 * c_, 1)(x)
+        y = ConvBN(2 * c_, 1, name="cv1")(x)
         y1, y2 = jnp.split(y, 2, axis=-1)
         outs = [y1, y2]
         cur = y2
-        for _ in range(self.n):
+        for j in range(self.n):
             if self.c3k:
-                cur = C3k(c_, 2)(cur)
+                cur = C3k(c_, 2, name=f"m{j}")(cur)
             else:
-                cur = Bottleneck(c_, True, 0.5, (3, 3))(cur)
+                cur = Bottleneck(c_, True, 0.5, (3, 3), name=f"m{j}")(cur)
             outs.append(cur)
-        return ConvBN(self.out_ch, 1)(jnp.concatenate(outs, -1))
+        return ConvBN(self.out_ch, 1,
+                      name="cv2")(jnp.concatenate(outs, -1))
 
 
 class SPPF(nn.Module):
@@ -106,14 +108,15 @@ class SPPF(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_ = x.shape[-1] // 2
-        x = ConvBN(c_, 1)(x)
+        x = ConvBN(c_, 1, name="cv1")(x)
         outs = [x]
         y = x
         for _ in range(3):
             y = nn.max_pool(y, (self.k, self.k), strides=(1, 1),
                             padding=((self.k // 2,) * 2, (self.k // 2,) * 2))
             outs.append(y)
-        return ConvBN(self.out_ch, 1)(jnp.concatenate(outs, -1))
+        return ConvBN(self.out_ch, 1,
+                      name="cv2")(jnp.concatenate(outs, -1))
 
 
 class Attention(nn.Module):
@@ -127,7 +130,8 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         key_dim = head_dim // 2
         nh = self.num_heads
-        qkv = ConvBN(nh * (key_dim * 2 + head_dim), 1, act=False)(x)
+        qkv = ConvBN(nh * (key_dim * 2 + head_dim), 1, act=False,
+                     name="qkv")(x)
         qkv = qkv.reshape(b, n, nh, key_dim * 2 + head_dim)
         q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
         attn = jnp.einsum("bnhk,bmhk->bhnm", q, k) / math.sqrt(key_dim)
@@ -135,8 +139,9 @@ class Attention(nn.Module):
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(b, h, w, self.dim)
         vr = v.reshape(b, h, w, nh * head_dim)
-        out = out + ConvBN(self.dim, 3, groups=self.dim, act=False)(vr)
-        return ConvBN(self.dim, 1, act=False)(out)
+        out = out + ConvBN(self.dim, 3, groups=self.dim, act=False,
+                           name="pe")(vr)
+        return ConvBN(self.dim, 1, act=False, name="proj")(out)
 
 
 class PSABlock(nn.Module):
@@ -145,9 +150,9 @@ class PSABlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.dim, self.num_heads)(x)
-        y = ConvBN(self.dim * 2, 1)(x)
-        y = ConvBN(self.dim, 1, act=False)(y)
+        x = x + Attention(self.dim, self.num_heads, name="attn")(x)
+        y = ConvBN(self.dim * 2, 1, name="ffn0")(x)
+        y = ConvBN(self.dim, 1, act=False, name="ffn1")(y)
         return x + y
 
 
@@ -158,11 +163,12 @@ class C2PSA(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_ = self.out_ch // 2
-        y = ConvBN(2 * c_, 1)(x)
+        y = ConvBN(2 * c_, 1, name="cv1")(x)
         a, b_ = jnp.split(y, 2, axis=-1)
-        for _ in range(self.n):
-            b_ = PSABlock(c_, max(1, c_ // 64))(b_)
-        return ConvBN(self.out_ch, 1)(jnp.concatenate([a, b_], -1))
+        for j in range(self.n):
+            b_ = PSABlock(c_, max(1, c_ // 64), name=f"m{j}")(b_)
+        return ConvBN(self.out_ch, 1,
+                      name="cv2")(jnp.concatenate([a, b_], -1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,30 +207,35 @@ class YOLOv11(nn.Module):
         ch = self.ch
         d = self.depth
         c3k = self.scale in ("m", "l", "x")
-        # backbone
-        x = ConvBN(ch(64), 3, 2)(x)                         # P1
-        x = ConvBN(ch(128), 3, 2)(x)                        # P2
-        x = C3k2(ch(256), d(2), c3k, 0.25)(x)
-        x = ConvBN(ch(256), 3, 2)(x)                        # P3
-        p3 = C3k2(ch(512), d(2), c3k, 0.25)(x)
-        x = ConvBN(ch(512), 3, 2)(p3)                       # P4
-        p4 = C3k2(ch(512), d(2), True)(x)
-        x = ConvBN(ch(1024), 3, 2)(p4)                      # P5
-        x = C3k2(ch(1024), d(2), True)(x)
-        x = SPPF(ch(1024), 5)(x)
-        p5 = C2PSA(ch(1024), d(2))(x)
+        # backbone — module names are the Ultralytics layer indices
+        # (model.0, model.1, ...) so weight conversion is a pure name map
+        x = ConvBN(ch(64), 3, 2, name="m0")(x)              # P1
+        x = ConvBN(ch(128), 3, 2, name="m1")(x)             # P2
+        x = C3k2(ch(256), d(2), c3k, 0.25, name="m2")(x)
+        x = ConvBN(ch(256), 3, 2, name="m3")(x)             # P3
+        p3 = C3k2(ch(512), d(2), c3k, 0.25, name="m4")(x)
+        x = ConvBN(ch(512), 3, 2, name="m5")(p3)            # P4
+        p4 = C3k2(ch(512), d(2), True, name="m6")(x)
+        x = ConvBN(ch(1024), 3, 2, name="m7")(p4)           # P5
+        x = C3k2(ch(1024), d(2), True, name="m8")(x)
+        x = SPPF(ch(1024), 5, name="m9")(x)
+        p5 = C2PSA(ch(1024), d(2), name="m10")(x)
 
         # head (FPN/PAN)
         u = jax.image.resize(p5, (p5.shape[0], p5.shape[1] * 2,
                                   p5.shape[2] * 2, p5.shape[3]), "nearest")
-        h4 = C3k2(ch(512), d(2), c3k)(jnp.concatenate([u, p4], -1))
+        h4 = C3k2(ch(512), d(2), c3k,
+                  name="m13")(jnp.concatenate([u, p4], -1))
         u = jax.image.resize(h4, (h4.shape[0], h4.shape[1] * 2,
                                   h4.shape[2] * 2, h4.shape[3]), "nearest")
-        h3 = C3k2(ch(256), d(2), c3k)(jnp.concatenate([u, p3], -1))
-        dwn = ConvBN(ch(256), 3, 2)(h3)
-        h4b = C3k2(ch(512), d(2), c3k)(jnp.concatenate([dwn, h4], -1))
-        dwn = ConvBN(ch(512), 3, 2)(h4b)
-        h5 = C3k2(ch(1024), d(2), True)(jnp.concatenate([dwn, p5], -1))
+        h3 = C3k2(ch(256), d(2), c3k,
+                  name="m16")(jnp.concatenate([u, p3], -1))
+        dwn = ConvBN(ch(256), 3, 2, name="m17")(h3)
+        h4b = C3k2(ch(512), d(2), c3k,
+                   name="m19")(jnp.concatenate([dwn, h4], -1))
+        dwn = ConvBN(ch(512), 3, 2, name="m20")(h4b)
+        h5 = C3k2(ch(1024), d(2), True,
+                  name="m22")(jnp.concatenate([dwn, p5], -1))
 
         # detect head with DFL
         feats = [h3, h4b, h5]
@@ -233,12 +244,19 @@ class YOLOv11(nn.Module):
         c2 = max(16, ch(256) // 4, self.reg_max * 4)
         c3 = max(ch(256), min(self.num_classes, 100))
         for i, (f, s) in enumerate(zip(feats, strides)):
-            bx = ConvBN(c2, 3)(f)
-            bx = ConvBN(c2, 3)(bx)
-            bx = nn.Conv(4 * self.reg_max, (1, 1), name=f"box_out{i}")(bx)
-            cl = ConvBN(c3, 3, groups=1)(f)
-            cl = ConvBN(c3, 3)(cl)
-            cl = nn.Conv(self.num_classes, (1, 1), name=f"cls_out{i}")(cl)
+            # box branch (Ultralytics Detect.cv2[i]): Conv3, Conv3, 1x1
+            bx = ConvBN(c2, 3, name=f"cv2_{i}_0")(f)
+            bx = ConvBN(c2, 3, name=f"cv2_{i}_1")(bx)
+            bx = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{i}_2")(bx)
+            # cls branch (Detect.cv3[i]): two depthwise-separable stages
+            # (DWConv3 + 1x1) then the scoring 1x1 — layer-for-layer the
+            # Ultralytics structure so checkpoints convert exactly
+            cl = ConvBN(f.shape[-1], 3, groups=f.shape[-1],
+                        name=f"cv3_{i}_0_0")(f)
+            cl = ConvBN(c3, 1, name=f"cv3_{i}_0_1")(cl)
+            cl = ConvBN(c3, 3, groups=c3, name=f"cv3_{i}_1_0")(cl)
+            cl = ConvBN(c3, 1, name=f"cv3_{i}_1_1")(cl)
+            cl = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{i}_2")(cl)
             hgt, wid = f.shape[1], f.shape[2]
             box_outs.append(bx.reshape(bx.shape[0], -1, 4 * self.reg_max))
             cls_outs.append(cl.reshape(cl.shape[0], -1, self.num_classes))

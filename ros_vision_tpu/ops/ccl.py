@@ -175,15 +175,18 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "pallas_sweeps",
-                                             "interpret", "min_blob"))
+                                             "verify_sweeps", "interpret",
+                                             "min_blob"))
 def label_components_hybrid(threshim: jnp.ndarray, max_iters: int = 16,
-                            pallas_sweeps: int = 192,
+                            pallas_sweeps: int = 448,
+                            verify_sweeps: int = 64,
                             interpret: bool = False, min_blob: int = 25):
     """label_components with the Pallas VMEM propagation kernel doing the
-    bulk of the work: each outer round runs `pallas_sweeps` on-chip
-    neighbor-min sweeps (ops/ccl_pallas.py), then ONE scatter-min hook +
-    pointer-jump round (the exactness mechanism and long-snake accelerator).
-    Same outputs/semantics as label_components."""
+    bulk of the work: a deep first round (pallas_sweeps on-chip neighbor-min
+    sweeps, ops/ccl_pallas.py) collapses everything with bounded shape
+    diameter, then shallow rounds (verify_sweeps) with ONE scatter-min hook
+    + pointer jump each run until fixpoint (the exactness mechanism and
+    long-snake accelerator). Same outputs/semantics as label_components."""
     from ros_vision_tpu.ops import ccl_pallas
 
     b, h, w = threshim.shape
@@ -195,13 +198,13 @@ def label_components_hybrid(threshim: jnp.ndarray, max_iters: int = 16,
 
     def body(state):
         p, _, it = state
+        sweeps = jnp.where(it == 0, pallas_sweeps, verify_sweeps)
         m = ccl_pallas.propagate(threshim, p.reshape(b, h, w),
-                                 n_sweeps=pallas_sweeps,
+                                 n_sweeps=sweeps,
                                  interpret=interpret).reshape(b, n)
         offs = jnp.arange(b, dtype=jnp.int32)[:, None] * n
         pn = p.reshape(-1).at[(p + offs).reshape(-1)].min(
             m.reshape(-1)).reshape(b, n)
-        pn = gather(pn, pn)
         pn = gather(pn, pn)
         return pn, jnp.any(pn != p), it + 1
 

@@ -39,64 +39,65 @@ def _roll2(x, dy, dx):
     return x
 
 
-def _make_kernel(n_sweeps: int):
-    def kernel(thresh_ref, lab_in_ref, lab_out_ref):
-        v = thresh_ref[0].astype(jnp.int32)          # (H, W)
-        h, w = v.shape
-        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        not127 = v != 127
-        white = v == 255
+def _kernel(sweeps_ref, thresh_ref, lab_in_ref, lab_out_ref):
+    v = thresh_ref[0].astype(jnp.int32)          # (H, W)
+    h, w = v.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    not127 = v != 127
+    white = v == 255
 
-        # loop-invariant eligibility packed into ONE int32 bitmask array
-        # (8 separate bool masks get hoisted out of the loop and blow the
-        # 16 MB scoped-VMEM limit at larger frame sizes)
-        mask_bits = jnp.zeros(v.shape, jnp.int32)
-        for k, (dy, dx, diag) in enumerate(_OFFSETS):
-            nv = _roll2(v, dy, dx)
-            ok = not127 & (nv == v)
-            if diag:
-                ok &= white
-            # exclude wrapped borders
-            if dy == -1:
-                ok &= rows > 0
-            elif dy == 1:
-                ok &= rows < h - 1
-            if dx == -1:
-                ok &= cols > 0
-            elif dx == 1:
-                ok &= cols < w - 1
-            mask_bits = mask_bits | (ok.astype(jnp.int32) << k)
+    # loop-invariant eligibility packed into ONE int32 bitmask array
+    # (8 separate bool masks get hoisted out of the loop and blow the
+    # 16 MB scoped-VMEM limit at larger frame sizes)
+    mask_bits = jnp.zeros(v.shape, jnp.int32)
+    for k, (dy, dx, diag) in enumerate(_OFFSETS):
+        nv = _roll2(v, dy, dx)
+        ok = not127 & (nv == v)
+        if diag:
+            ok &= white
+        # exclude wrapped borders
+        if dy == -1:
+            ok &= rows > 0
+        elif dy == 1:
+            ok &= rows < h - 1
+        if dx == -1:
+            ok &= cols > 0
+        elif dx == 1:
+            ok &= cols < w - 1
+        mask_bits = mask_bits | (ok.astype(jnp.int32) << k)
 
-        def sweep(_, lab):
-            m = lab
-            for k, (dy, dx, _d) in enumerate(_OFFSETS):
-                nl = _roll2(lab, dy, dx)
-                ok = ((mask_bits >> k) & 1) == 1
-                m = jnp.minimum(m, jnp.where(ok, nl, _BIG))
-            return m
+    def sweep(_, lab):
+        m = lab
+        for k, (dy, dx, _d) in enumerate(_OFFSETS):
+            nl = _roll2(lab, dy, dx)
+            ok = ((mask_bits >> k) & 1) == 1
+            m = jnp.minimum(m, jnp.where(ok, nl, _BIG))
+        return m
 
-        lab_out_ref[0] = jax.lax.fori_loop(0, n_sweeps, sweep,
-                                           lab_in_ref[0])
-    return kernel
+    # runtime sweep count: the hybrid loop runs a deep first round and
+    # shallow verification rounds without recompiling
+    lab_out_ref[0] = jax.lax.fori_loop(0, sweeps_ref[0], sweep,
+                                       lab_in_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def propagate(threshim: jnp.ndarray, labels: jnp.ndarray,
-              n_sweeps: int = 128, interpret: bool = False) -> jnp.ndarray:
+              n_sweeps=128, interpret: bool = False) -> jnp.ndarray:
     """threshim (B, H, W) uint8; labels (B, H, W) int32 -> propagated
-    labels after n_sweeps masked neighbor-min sweeps (VMEM-resident)."""
+    labels after n_sweeps (scalar, may be traced) masked neighbor-min
+    sweeps (VMEM-resident)."""
     b, h, w = threshim.shape
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_kernel(n_sweeps),
+        _kernel,
         grid=(b,),
-        in_specs=[spec(), spec()],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         # alias labels in/out: halves the label buffering (the 16 MB scoped
         # VMEM limit binds at >=540x960 frames otherwise)
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(threshim, labels)
+    )(jnp.asarray(n_sweeps, jnp.int32).reshape(1), threshim, labels)

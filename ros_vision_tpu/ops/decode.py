@@ -31,7 +31,11 @@ from ros_vision_tpu.apriltag.families import TagFamily
 QUAD_DECIMATE = 2
 DECODE_SHARPENING = 0.25
 MAX_HAMMING = 2
-REFINE_ALPHA_SAMPLES = 32     # reference: max(16, edge_len/8), dynamic
+REFINE_ALPHA_SAMPLES = 32     # static superset; per edge the reference's
+# length-adaptive count max(16, edge_len/8) (apriltag_detect.cu:360) is
+# realized by masking samples beyond each edge's own count. 32 covers
+# edges up to 256 full-res px exactly; longer edges cap at 32 samples
+# (spacing grows past the reference's ~8 px, tolerance-tested).
 REFINE_NORMAL_STEPS = 25      # range ±(quad_decimate+1), step 0.25 -> 25
 
 
@@ -145,12 +149,16 @@ def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
     nx = nx / mag_safe
     ny = ny / mag_safe
 
+    # length-adaptive sample count per edge: nsamples = max(16, len/8)
+    # (apriltag refine_edges; apriltag_detect.cu:360), realized on the
+    # static 64-sample grid by masking samples s >= nsamples
     s = jnp.arange(REFINE_ALPHA_SAMPLES, dtype=jnp.float32)
-    alpha = (1.0 + s) / (REFINE_ALPHA_SAMPLES + 1)   # (S,)
-    x0 = (alpha[None, None, None, :] * pa[..., 0:1]
-          + (1 - alpha)[None, None, None, :] * pb[..., 0:1])  # (B,NQ,4,S)
-    y0 = (alpha[None, None, None, :] * pa[..., 1:2]
-          + (1 - alpha)[None, None, None, :] * pb[..., 1:2])
+    ns = jnp.clip(jnp.maximum(16.0, jnp.floor(mag / 8.0)), 16,
+                  REFINE_ALPHA_SAMPLES)               # (B,NQ,4)
+    alpha = (1.0 + s) / (ns[..., None] + 1)           # (B,NQ,4,S)
+    s_ok = s < ns[..., None]
+    x0 = (alpha * pa[..., 0:1] + (1 - alpha) * pb[..., 0:1])  # (B,NQ,4,S)
+    y0 = (alpha * pa[..., 1:2] + (1 - alpha) * pb[..., 1:2])
 
     rng = QUAD_DECIMATE + 1
     n_off = -rng + 0.25 * jnp.arange(REFINE_NORMAL_STEPS, dtype=jnp.float32)
@@ -160,29 +168,39 @@ def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
     x0b = x0[..., None]
     y0b = y0[..., None]
     noffb = n_off[None, None, None, None, :]
+
     xs1 = x0b + (noffb + grange) * nxb      # (B,NQ,4,S,N)
     ys1 = y0b + (noffb + grange) * nyb
     xs2 = x0b + (noffb - grange) * nxb
     ys2 = y0b + (noffb - grange) * nyb
     g1, ok1 = _int_sample(gray_f, xs1, ys1)
     g2, ok2 = _int_sample(gray_f, xs2, ys2)
-    ok = ok1 & ok2 & (g1 >= g2)
+    ok = ok1 & ok2 & (g1 >= g2) & s_ok[..., None]
     wgt = jnp.where(ok, (g2 - g1) * (g2 - g1), 0.0)
     xo = x0b + noffb * nxb
     yo = y0b + noffb * nyb
     if have_dist:
         xo, yo = _undistort(xo, yo, intr, dist)
-    mxy = jnp.stack([wgt * xo, wgt * yo, wgt * xo * xo, wgt * xo * yo,
-                     wgt * yo * yo, wgt], axis=-1)
+    # accumulate moments about the edge midpoint: the covariance comes from
+    # a cancellation (Mxx/N - Ex^2) that loses ~4 digits in f32 when
+    # coordinates are in image units; centering makes the fit exact to f32
+    # (translation-invariant, center added back to the line point below)
+    emx = 0.5 * (pa[..., 0] + pb[..., 0])[..., None, None]
+    emy = 0.5 * (pa[..., 1] + pb[..., 1])[..., None, None]
+    xod = xo - emx
+    yod = yo - emy
+    mxy = jnp.stack([wgt * xod, wgt * yod, wgt * xod * xod, wgt * xod * yod,
+                     wgt * yod * yod, wgt], axis=-1)
     m = mxy.sum(axis=(3, 4))                        # (B,NQ,4,6)
     n_tot = m[..., 5]
     usable = n_tot > 1e-9
     n_safe = jnp.where(usable, n_tot, 1.0)
-    ex = m[..., 0] / n_safe
-    ey = m[..., 1] / n_safe
-    cxx = m[..., 2] / n_safe - ex * ex
-    cxy = m[..., 3] / n_safe - ex * ey
-    cyy = m[..., 4] / n_safe - ey * ey
+    ex = m[..., 0] / n_safe + emx[..., 0, 0]
+    ey = m[..., 1] / n_safe + emy[..., 0, 0]
+    cxx = m[..., 2] / n_safe - (m[..., 0] / n_safe) ** 2
+    cxy = (m[..., 3] / n_safe
+           - (m[..., 0] / n_safe) * (m[..., 1] / n_safe))
+    cyy = m[..., 4] / n_safe - (m[..., 1] / n_safe) ** 2
     theta = 0.5 * jnp.arctan2(-2 * cxy, cyy - cxx)
     lnx = jnp.cos(theta)
     lny = jnp.sin(theta)

@@ -127,7 +127,7 @@ def _axis_rotation(axis, ang):
 
 
 def estimate_poses(Hdet: jnp.ndarray, tag_size: float,
-                   fx, fy, cx, cy, n_steps: int = 30):
+                   fx, fy, cx, cy, n_steps: int = 50):
     """Hdet (B, NQ, 3, 3) canonical detection homographies ->
     (R (B,NQ,3,3), t (B,NQ,3), err (B,NQ)).
 

@@ -392,20 +392,75 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     errs = jnp.where(fit_ok_pt, errs, 0.0)
 
     # 7-tap circular gaussian smoothing (FilterCoefficients,
-    # line_fit_filter.h:122-128)
+    # line_fit_filter.h:122-128) + peak detection. Within a segment the
+    # circular taps are plain array shifts except within 3 (4 for peaks) of
+    # the segment boundary, so: smooth/peak the whole K axis with cheap
+    # global rolls, then repair the boundary region exactly via a small
+    # (B, NSEG1, 16) table — two ~10k-index gathers/scatters instead of nine
+    # 131k-index gathers.
+    errs_raw = errs
     smoothed = jnp.zeros_like(errs)
     for j in range(-3, 4):
         f = math.exp(-j * j / 2.0)
-        pj = jnp.where(sz_pt > 0, (pos + j) % jnp.maximum(sz_pt, 1), 0)
-        ej = segs.take1(errs, jnp.clip(start + pj, 0, k - 1))
-        smoothed = smoothed + f * ej
-    errs = smoothed
+        smoothed = smoothed + f * jnp.roll(errs_raw, -j, axis=1)
+    nxt = jnp.roll(smoothed, -1, axis=1)
+    prv = jnp.roll(smoothed, 1, axis=1)
+    is_peak_lin = (smoothed > nxt) & (smoothed > prv)
 
-    nxt = segs.take1(errs, jnp.clip(
-        start + (pos + 1) % jnp.maximum(sz_pt, 1), 0, k - 1))
-    prv = segs.take1(errs, jnp.clip(
-        start + (pos - 1 + sz_pt) % jnp.maximum(sz_pt, 1), 0, k - 1))
-    is_peak = fit_ok_pt & (errs > nxt) & (errs > prv)
+    # --- boundary repair table: raw errs at positions [0,8) u [sz-8,sz) ---
+    fw = 8
+    pp = jnp.concatenate([jnp.arange(fw, dtype=jnp.int32),
+                          jnp.arange(-fw, 0, dtype=jnp.int32)])
+    pos_tab = jnp.where(pp >= 0, pp, count[..., None] + pp)   # (B,NSEG1,16)
+    in_seg = (pos_tab >= 0) & (pos_tab < count[..., None])
+    gidx = jnp.clip(start_tab2[..., None] + pos_tab, 0, k - 1)
+    eraw = jnp.where(in_seg, segs.take1(
+        errs_raw, gidx.reshape(b, -1)).reshape(b, nseg1, 2 * fw), 0.0)
+
+    def tab_at(q):
+        """Raw err at circular position q (B, NSEG1, S); q must lie in
+        [0, fw) u [sz-fw, sz) — true for every tap used below."""
+        qm = jnp.where(q < 0, q + count[..., None], q)
+        qm = jnp.where(qm >= count[..., None], qm - count[..., None], qm)
+        ti = jnp.where(qm < fw, qm, 2 * fw + qm - count[..., None])
+        ti = jnp.clip(ti, 0, 2 * fw - 1)
+        return jnp.take_along_axis(eraw, ti, axis=2)
+
+    # exact circular smoothing for positions [0,5) u [sz-5,sz)
+    fpos = jnp.concatenate([jnp.arange(5, dtype=jnp.int32),
+                            jnp.arange(-5, 0, dtype=jnp.int32)])
+    fpos_abs = jnp.where(fpos >= 0, fpos, count[..., None] + fpos)
+    sm_fix = sum(math.exp(-j * j / 2.0) * tab_at(fpos_abs + j)
+                 for j in range(-3, 4))
+    # peaks from the fixed smoothed values. Table layout
+    # [0,1,2,3,4, sz-5,sz-4,sz-3,sz-2,sz-1]: the +1/-1 circular neighbors
+    # are in-table for every slot except 4 (needs pos 5) and 5 (needs pos
+    # sz-6) — those two positions' global roll results are already exact
+    # (their taps don't wrap), so they're excluded from the peak scatter.
+    nxt_idx = jnp.asarray([1, 2, 3, 4, 0, 6, 7, 8, 9, 0], jnp.int32)
+    prv_idx = jnp.asarray([9, 0, 1, 2, 0, 4, 5, 6, 7, 8], jnp.int32)
+    sm_nxt = sm_fix[:, :, nxt_idx]
+    sm_prv = sm_fix[:, :, prv_idx]
+    pk_fix = (sm_fix > sm_nxt) & (sm_fix > sm_prv)
+    pk_slot_ok = jnp.asarray(
+        [True, True, True, True, False, False, True, True, True, True])
+
+    # scatter the repaired values back (duplicate positions write equal
+    # values; positions 3,4 / sz-5,sz-4 equal the roll result anyway)
+    fix_in = (fpos_abs >= 0) & (fpos_abs < count[..., None]) & \
+        (count[..., None] >= 2 * fw)
+    fgidx_all = jnp.clip(start_tab2[..., None] + fpos_abs, 0, k - 1)
+    fgidx = jnp.where(fix_in, fgidx_all, k)
+    pgidx = jnp.where(fix_in & pk_slot_ok[None, None, :], fgidx_all, k)
+    smoothed = jax.vmap(lambda a, ix, v: a.at[ix].set(v))(
+        jnp.concatenate([smoothed, jnp.zeros((b, 1), jnp.float32)], 1),
+        fgidx.reshape(b, -1), sm_fix.reshape(b, -1))[:, :k]
+    is_peak_lin = jax.vmap(lambda a, ix, v: a.at[ix].set(v))(
+        jnp.concatenate([is_peak_lin, jnp.zeros((b, 1), jnp.bool_)], 1),
+        pgidx.reshape(b, -1), pk_fix.reshape(b, -1))[:, :k]
+
+    errs = jnp.where(fit_ok_pt, smoothed, 0.0)
+    is_peak = fit_ok_pt & is_peak_lin
 
     # ---- top-10 maxima per segment (peak select/sort/extents,
     #      apriltag_gpu.cu:1001-1078). One sort by (segment, -error) with

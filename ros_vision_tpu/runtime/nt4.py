@@ -34,6 +34,11 @@ class NT4Client:
     def __init__(self, server: str, client_name: str = "ros_vision_tpu",
                  port: int = NT4_PORT, connect_timeout: float = 5.0):
         from websockets.sync.client import connect
+        # accept "host" or "host:port" (an explicit port in the address
+        # wins over the default NT4 port)
+        if ":" in server:
+            server, port_s = server.rsplit(":", 1)
+            port = int(port_s)
         self._uri = f"ws://{server}:{port}/nt/{client_name}"
         self._ws = connect(
             self._uri, subprotocols=["v4.1.networktables.first.wpi.edu",
@@ -149,6 +154,10 @@ class NT4TestServer:
         self._cv = threading.Condition()
 
         def handler(ws):
+            # pubuids are scoped per client connection (NT4 spec) — a
+            # multi-camera system runs one client per sender and their uids
+            # collide if tracked globally
+            conn_topics = {}
             while True:
                 try:
                     msg = ws.recv()
@@ -158,6 +167,7 @@ class NT4TestServer:
                     for op in json.loads(msg):
                         if op.get("method") == "publish":
                             p = op["params"]
+                            conn_topics[p["pubuid"]] = p["name"]
                             self._topics[p["pubuid"]] = p["name"]
                             with self._cv:
                                 self._announced.append(p)
@@ -171,7 +181,7 @@ class NT4TestServer:
                         continue
                     with self._cv:
                         self.received.append(
-                            (self._topics.get(uid, f"#{uid}"), ts, val))
+                            (conn_topics.get(uid, f"#{uid}"), ts, val))
                         self._cv.notify_all()
 
         self._server = serve(handler, "127.0.0.1", port)

@@ -53,7 +53,14 @@ class VisionNode:
         self.detector = detector
         self.channels = channels
         self.intrinsics = intrinsics
-        self.tag_sender = tag_sender
+        # one NT sender per camera (the reference keys senders by camera
+        # serial, apriltags_cuda_detector.cu:155): a dict {location:
+        # sender}. A bare sender is accepted for single-camera use and is
+        # shared across channels.
+        if tag_sender is None or isinstance(tag_sender, dict):
+            self.tag_senders = tag_sender or {}
+        else:
+            self.tag_senders = {ch.location: tag_sender for ch in channels}
         self.timing = TimingLogger(timing_csv_path) if measurement_mode \
             else None
         self._queues = {}
@@ -109,13 +116,18 @@ class VisionNode:
             robot_pos = [robot_pos[j] for j in order]
 
             t_nt0 = time.monotonic()
-            if self.tag_sender is not None and dets:
+            sender = self.tag_senders.get(ch.location)
+            if sender is not None:
+                # send EVERY frame, including empty lists: the robot must
+                # see stale tag data cleared when tags leave view (the
+                # reference publishes networktables_pose_data each frame,
+                # apriltags_cuda_detector.cu:501)
                 flat = []
                 for d, p in zip(dets, robot_pos):
                     flat += [float(stamps[i]), float(d.tag_id),
                              float(p[0]), float(p[1]), float(p[2])]
-                self.tag_sender.send_value(flat)
-                self.tag_sender.send_protobuf(
+                sender.send_value(flat)
+                sender.send_protobuf(
                     encode_apriltag_list_proto(dets, stamps[i]))
             nt_time = time.monotonic() - t_nt0
 

@@ -40,7 +40,14 @@ def _stages(det):
         return {"decimated": decim, "threshim": t}
 
     def s_ccl(st):
-        labels, sizes, ranks = ccl.label_components(st["threshim"])
+        # mirror the detector's backend selection (detector.py): the hybrid
+        # Pallas CCL on TPU, the XLA CCL on CPU — so stage timings reflect
+        # the real pipeline
+        if jax.default_backend() in ("tpu", "axon"):
+            labels, sizes, ranks = ccl.label_components_hybrid(
+                st["threshim"])
+        else:
+            labels, sizes, ranks = ccl.label_components(st["threshim"])
         return {"labels": labels, "sizes": sizes, "ranks": ranks}
 
     def s_boundary(st):

@@ -90,6 +90,34 @@ def test_distorted_end_to_end():
     assert np.linalg.norm(np.asarray(d.pose_t) - t) < 0.06
 
 
+@pytest.mark.parametrize("tilt_deg", [60, 66, 72])
+def test_shallow_angle_pose_ambiguity(tilt_deg, tpu_det):
+    """Shallow viewing angles are exactly where the planar pose ambiguity
+    bites (the two error minima approach each other): the device pose must
+    pick the same basin as the f64 oracle (50-step orthogonal iteration +
+    second-candidate search) and land near ground truth."""
+    from ros_vision_tpu.apriltag.render import project_tag_corners
+    from scipy.spatial.transform import Rotation
+    tag = 0.1651
+    for yaw in (0, 25):
+        rot = Rotation.from_euler("xyz", [tilt_deg, yaw, 0],
+                                  degrees=True).as_matrix()
+        t = np.array([0.02, -0.05, 0.9])
+        corners = project_tag_corners(rot, t, tag, FX, FY, CX, CY)
+        img, _ = render_scene([5], [corners], W, H)
+        res = tpu_det.detect(img)
+        if not res:      # extreme foreshortening can kill the decode;
+            continue     # that's a recall question, not an ambiguity one
+        d = res[0]
+        assert d.tag_id == 5
+        assert np.abs(np.asarray(d.pose_t) - t).max() < 0.02, \
+            f"tilt {tilt_deg} yaw {yaw}: {d.pose_t} vs {t}"
+        # the z-axis (tag normal) must not have flipped into the mirror
+        # solution: compare against ground truth rotation
+        dotz = float(np.asarray(d.pose_R)[:, 2] @ rot[:, 2])
+        assert dotz > 0.9, f"normal flipped: dot={dotz}"
+
+
 @pytest.mark.parametrize("n_flips", [1, 2])
 def test_corrupted_bits_decode(n_flips, tpu_det):
     """Flip n data modules of a rendered tag; must decode with

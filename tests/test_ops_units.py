@@ -87,6 +87,26 @@ def test_pallas_threshold_interpret():
     assert np.array_equal(np.asarray(t[0]), o_thr)
 
 
+def test_ccl_hybrid_interpret_matches_xla():
+    """The Pallas-accelerated hybrid CCL (interpret mode on CPU) must agree
+    exactly with the XLA CCL: labels, sizes and dense big-blob ranks."""
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import ccl
+    from ros_vision_tpu.ops import threshold as thr
+    img, _ = render_scene([3, 11], [simple_square_corners(60, 60, 34),
+                                    simple_square_corners(180, 80, 40)],
+                          256, 128, noise_sigma=3)
+    t, _ = thr.adaptive_threshold(thr.decimate2(jnp.asarray(img)[None]))
+    l1, s1, r1 = ccl.label_components(t)
+    l2, s2, r2 = ccl.label_components_hybrid(t, pallas_sweeps=96,
+                                             verify_sweeps=16,
+                                             interpret=True)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
 def test_polar_rotation():
     from ros_vision_tpu.ops.pose import polar_rotation
     rng = np.random.default_rng(3)

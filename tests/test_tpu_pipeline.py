@@ -20,8 +20,14 @@ W, H = 320, 160  # small test frames
 
 @pytest.fixture(scope="module")
 def scene():
+    # both tags rotated: an EXACTLY axis-aligned synthetic tag at integer
+    # coordinates puts refine_edges sample points exactly ON the int()
+    # truncation discontinuity, where the f64 oracle itself sits 1e-13 from
+    # the boundary — corner parity there is ill-posed for any f32 pipeline
+    # (and impossible for real camera geometry). Generic poses give a
+    # well-posed <0.1 px corner-parity bound.
     img, placed = render_scene(
-        [3, 77], [simple_square_corners(80, 60, 34),
+        [3, 77], [simple_square_corners(80, 60, 34, angle_deg=-7),
                   simple_square_corners(220, 90, 40, angle_deg=25)],
         W, H)
     return img, placed
@@ -97,10 +103,10 @@ def test_end_to_end_parity(scene, tpu_detector):
     assert [d.tag_id for d in dets] == [d.tag_id for d in ores.detections]
     for d, o in zip(dets, ores.detections):
         assert d.hamming == o.hamming == 0
-        # refine_edges uses a static sample grid vs the reference's
-        # length-adaptive one -> sub-pixel differences vs the oracle, but
-        # both must hit ground truth
-        assert np.abs(d.corners - o.corners).max() < 0.8
+        # refine_edges now uses the reference's length-adaptive sample
+        # count (max(16, len/8)) -> corner parity vs the f64 oracle is
+        # tight; remaining delta is f32 accumulation
+        assert np.abs(d.corners - o.corners).max() < 0.1
         truth = next(p.corners for p in placed if p.tag_id == d.tag_id)
         assert np.abs(d.corners[::-1] - truth).max() < 0.5
         assert abs(d.decision_margin - o.decision_margin) < 2.0
