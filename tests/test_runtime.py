@@ -119,6 +119,45 @@ def test_nt4_roundtrip():
     srv.close()
 
 
+def test_nt4_reconnect():
+    """Kill and restart the NT4 server mid-stream: the sender must keep
+    running (sends drop, never raise) and resume publishing when the server
+    returns — the reference's ntcore client reconnects to the roboRIO
+    forever (AprilTagDataSender.cpp relies on that)."""
+    import time as _time
+    from ros_vision_tpu.runtime.nt4 import (
+        AprilTagDataSender, NT4Client, NT4TestServer)
+    NT4Client.RECONNECT_INTERVAL = 0.1   # fast test cadence
+    srv = NT4TestServer()
+    port = srv.port
+    s = AprilTagDataSender("april_tags", "127.0.0.1", port=port)
+    s.send_value([1.0, 5.0, 0.1, 0.2, 0.3])
+    assert srv.wait_for(1)
+    srv.close()
+    _time.sleep(0.1)
+    # sends while the server is down must not raise
+    for _ in range(3):
+        s.send_value([2.0, 6.0, 0.0, 0.0, 0.0])
+        _time.sleep(0.05)
+    srv2 = NT4TestServer(port=port)
+    deadline = _time.monotonic() + 10.0
+    got = False
+    while _time.monotonic() < deadline:
+        s.send_value([3.0, 7.0, 0.4, 0.5, 0.6])
+        if srv2.wait_for(1, timeout=0.2):
+            got = True
+            break
+    assert got, "sender did not resume publishing after server restart"
+    # the topic must have been re-announced on the new connection
+    names = [p["name"] for p in srv2._announced]
+    assert "/SmartDashboard/april_tags" in names
+    vals = [r[2] for r in srv2.received
+            if r[0] == "/SmartDashboard/april_tags"]
+    assert [3.0, 7.0, 0.4, 0.5, 0.6] in vals
+    s.close()
+    srv2.close()
+
+
 def test_msgpack_roundtrip():
     from ros_vision_tpu.runtime import msgpack_mini as mp
     cases = [None, True, False, 0, 7, 127, 128, -5, -100, 70000, -70000,
