@@ -174,6 +174,52 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
     return p, sizes, ranks
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "min_blob"))
+def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
+                           min_blob: int = 25):
+    """Fully kernel-resident CCL: ONE stride-ladder flood to fixpoint labels
+    the components, then sizes/ranks are broadcast back by a SECOND cheap
+    flood of per-root packed data instead of 1M-index gathers.
+
+    Cost model (measured on v5e): VMEM sweeps are ~9 us while XLA
+    gathers/scatters over (B, H*W) cost ~8 ms/frame — so the only XLA-side
+    data-dependent op left is the single histogram scatter-add for component
+    sizes. Replaces label_components_hybrid's outer hook/pointer-jump loop
+    (same outputs/semantics, same BKE-equivalent role as the reference's
+    labeling_allegretti_2019_BKE.cu:466-492)."""
+    from ros_vision_tpu.ops import ccl_pallas
+    from ros_vision_tpu.ops.scan import cumsum_mxu
+
+    b, h, w = threshim.shape
+    n = h * w
+    init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                            (b, n)).reshape(b, h, w)
+    masks = ccl_pallas.build_ladder_masks(threshim)
+    p = ccl_pallas.propagate_fixpoint(threshim, init, masks=masks,
+                                      interpret=interpret).reshape(b, n)
+
+    # component sizes over the label space via the one-hot MXU histogram;
+    # counts[v] > 0 iff v is some component's label (= root pixel index),
+    # and because labels ARE flat pixel indices the per-root packed table
+    # maps back to image layout by pure reshape — no scatter, no gather.
+    counts = ccl_pallas.label_histogram(p, interpret=interpret)
+    is_root_v = counts > 0
+    is_big_v = counts >= min_blob
+    rank_v = cumsum_mxu(is_big_v.astype(jnp.float32)).astype(jnp.int32)
+    rank_v = jnp.where(is_big_v & (rank_v <= MAX_BLOBS), rank_v, 0)
+    # pack rank (12 bits) | size (19 bits — decimated images can't exceed
+    # 2^19 px under the w*h < 2^22 full-res cap)
+    packed_v = jnp.where(is_root_v,
+                         (rank_v << 19) | jnp.minimum(counts, (1 << 19) - 1),
+                         jnp.int32(2 ** 31 - 1))
+    packed = ccl_pallas.propagate_fixpoint(
+        threshim, packed_v.reshape(b, h, w), masks=masks,
+        interpret=interpret).reshape(b, n)
+    sizes = packed & ((1 << 19) - 1)
+    ranks = packed >> 19
+    return p, sizes, ranks
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "pallas_sweeps",
                                              "verify_sweeps", "interpret",
                                              "min_blob"))

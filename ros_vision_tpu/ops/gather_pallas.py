@@ -1,0 +1,189 @@
+"""One-hot MXU replacements for small-table gathers and histograms.
+
+XLA lowers per-element gathers/scatters to near-scalar loops on TPU
+(measured ~1.4 ms per 131k-index gather per frame — the dominant cost of
+the quad-fitting middle pipeline, see ops/quadfit.py). But every such op
+in this pipeline indexes a SMALL table (the per-segment stats, S ~= 1025
+rows): a gather from a small table is a one-hot matmul, and a histogram
+into a small table is a masked row-reduction — both dense, regular work
+the MXU/VPU eat at ~0.3 ms/frame instead.
+
+  table_take_cm(table (B, S, C), idx (B, K)) -> (B, C, K)   [channel-major]
+      out[c, k] = table[idx[k], c]  via  table^T (C, S) @ onehot (S, K)
+  value_histogram(values (B, K), S) -> (B, S)
+      out[s] = #(values == s)       via  row-sums of onehot (S, K)
+
+The onehot is built per (S-chunk, K-tile) block in VMEM and never touches
+HBM. f32 products against a 0/1 one-hot with HIGHEST precision are exact,
+so results match jnp.take_along_axis / scatter-add bit-for-bit (unit-tested
+in tests/test_ops_units.py).
+
+These replace the cub DeviceReduce/ReduceByKey table passes of the
+reference (apriltag_gpu.cu:829-905) in spirit: same bounded-table contract,
+TPU-native execution.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_K_TILE = 2048
+_S_CHUNK = 256
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def is_tpu_backend() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _make_take_kernel(s_pad: int, c_pad: int, k_tile: int):
+    n_chunks = s_pad // _S_CHUNK
+
+    def kernel(idx_ref, tab_ref, out_ref):
+        idx = idx_ref[:]                                 # (K_TILE, 1)
+        acc = jnp.zeros((c_pad, k_tile), jnp.float32)
+        for ci in range(n_chunks):
+            iota_s = ci * _S_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (k_tile, _S_CHUNK), 1)
+            oh = (idx == iota_s).astype(jnp.float32)     # (K_TILE, S_CHUNK)
+            tab = tab_ref[0, pl.ds(ci * _S_CHUNK, _S_CHUNK), :]  # (S_CHUNK, C)
+            acc = acc + jax.lax.dot_general(
+                tab, oh, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (C, K_TILE)
+        out_ref[0] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def table_take_cm(table: jnp.ndarray, idx: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """table (B, S, C) f32, idx (B, K) int32 in [0, S) -> (B, C, K) f32
+    with out[b, c, k] = table[b, idx[b, k], c] (channel-major: each channel
+    is a ready-to-use (B, K) row for elementwise work downstream).
+    Out-of-range idx produce 0."""
+    b, s, c = table.shape
+    _, k = idx.shape
+    k_tile = min(_K_TILE, k)
+    assert k % k_tile == 0, (k, k_tile)
+    s_pad = _ceil_to(s, _S_CHUNK)
+    c_pad = _ceil_to(c, 8)
+    tab = jnp.pad(table.astype(jnp.float32),
+                  ((0, 0), (0, s_pad - s), (0, c_pad - c)))
+    # idx as a (B*K, 1) column: TPU block shapes must tile the last two dims
+    # (8, 128), which a (1, k_tile) row block over (B, K) violates for B > 1
+    col = idx.reshape(b * k, 1)
+    n_tiles = k // k_tile
+    out = pl.pallas_call(
+        _make_take_kernel(s_pad, c_pad, k_tile),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((k_tile, 1),
+                         lambda i, j, n=n_tiles: (i * n + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_pad, k_tile),
+                               lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_pad, k), jnp.float32),
+        interpret=interpret,
+    )(col, tab)
+    return out[:, :c, :]
+
+
+def table_take_cm_ref(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference/CPU fallback with identical semantics."""
+    b, s, c = table.shape
+    safe = jnp.clip(idx, 0, s - 1)
+    g = jnp.take_along_axis(table.astype(jnp.float32), safe[..., None],
+                            axis=1)
+    g = jnp.where(((idx >= 0) & (idx < s))[..., None], g, 0.0)
+    return jnp.moveaxis(g, -1, 1)
+
+
+def take_cm(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatching channel-major table gather."""
+    if is_tpu_backend():
+        return table_take_cm(table, idx)
+    return table_take_cm_ref(table, idx)
+
+
+def _make_hist_kernel(s_pad: int, k_tile: int):
+    n_chunks = s_pad // _S_CHUNK
+
+    def kernel(val_ref, out_ref, acc):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        val = val_ref[:]                                  # (K_TILE, 1)
+        for ci in range(n_chunks):                        # bound VMEM: one
+            iota_s = ci * _S_CHUNK + jax.lax.broadcasted_iota(  # 2MB chunk
+                jnp.int32, (k_tile, _S_CHUNK), 1)
+            oh = (val == iota_s).astype(jnp.int32)
+            acc[:, pl.ds(ci * _S_CHUNK, _S_CHUNK)] += jnp.sum(
+                oh, axis=0, keepdims=True)
+        del val
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_ref[0] = acc[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_values", "interpret"))
+def value_histogram(values: jnp.ndarray, num_values: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """values (B, K) int32 -> (B, num_values) int32 counts
+    (out[b, s] = #(values[b] == s); values outside [0, num_values) are
+    simply not counted)."""
+    b, k = values.shape
+    k_tile = min(_K_TILE, k)
+    assert k % k_tile == 0, (k, k_tile)
+    s_pad = _ceil_to(num_values, _S_CHUNK)
+    col = values.reshape(b * k, 1)
+    n_tiles = k // k_tile
+    out = pl.pallas_call(
+        _make_hist_kernel(s_pad, k_tile),
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec((k_tile, 1),
+                               lambda i, j, n=n_tiles: (i * n + j, 0),
+                               memory_space=pltpu.VMEM)],
+        # 3-D output: a (1, s_pad) block over a 2-D (B, s_pad) array is
+        # rejected by the TPU tiling rules for B > 1
+        out_specs=pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, s_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, s_pad), jnp.int32)],
+        interpret=interpret,
+    )(col)
+    return out[:, 0, :num_values]
+
+
+def value_histogram_ref(values: jnp.ndarray, num_values: int) -> jnp.ndarray:
+    b, k = values.shape
+    clipped = jnp.where((values >= 0) & (values < num_values), values,
+                        num_values)
+    return jax.vmap(
+        lambda v: jnp.zeros((num_values + 1,), jnp.int32).at[v].add(1)
+    )(clipped)[:, :num_values]
+
+
+def histogram(values: jnp.ndarray, num_values: int) -> jnp.ndarray:
+    """Backend-dispatching histogram."""
+    if is_tpu_backend():
+        return value_histogram(values, num_values)
+    return value_histogram_ref(values, num_values)

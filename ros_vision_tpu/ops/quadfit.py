@@ -133,8 +133,11 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     index-array length): stage A compacts the (B, H*W) pixel set down to
     pixels that emit anything (payload: pixel index + per-direction validity
     and gradient-sign bits in one int32); stage B expands 4 directions per
-    kept pixel and compacts to K point slots. This avoids any scatter over
-    the raw (B, 4*H*W) candidate space.
+    kept pixel and compacts to K (pixel, grad, dir) words. This avoids any
+    scatter over the raw (B, 4*H*W) candidate space. The blob-pair keys are
+    precomputed per (pixel, direction) as a 4-channel IMAGE (pure
+    elementwise rolls) and fetched with ONE K-index gather at the end —
+    per-point rank lookups would cost 2 gathers.
 
     Returns (dict(key, pack2) of (B, K) int32, counts (B,)).
       key   = (lo_rank-1) << 11 | (hi_rank-1)  (blob-pair identity)
@@ -152,15 +155,24 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     interior = ((xs >= 1) & (xs <= w - 2))[None, None, :] & \
         ((ys >= 1) & (ys <= h - 2))[None, :, None]
 
-    # per-pixel candidate mask + gradient-sign bits, one int32 image
+    # per-pixel candidate mask + gradient-sign bits (one int32 image) and
+    # per-direction blob-pair key image (B, H*W, 4) -> flat (B, 4N) so that
+    # flat index == (pix << 2 | dir)
     maskbits = jnp.zeros((b, h, w), jnp.int32)
+    keych = []
     for d, (dx, dy) in enumerate(_DIRS):
         nv = jnp.roll(v, (-dy, -dx), axis=(1, 2))
         nbig = jnp.roll(big, (-dy, -dx), axis=(1, 2))
+        nr = jnp.roll(rimg, (-dy, -dx), axis=(1, 2))
         ok = interior & ((v + nv) == 255) & big & nbig
         gpos = nv > v                                   # +1 gradient sign
         maskbits = maskbits | (ok.astype(jnp.int32) << d) \
             | ((ok & gpos).astype(jnp.int32) << (4 + d))
+        lo = jnp.minimum(rimg, nr) - 1
+        hi = jnp.maximum(rimg, nr) - 1
+        keych.append(jnp.where(ok & (lo >= 0), (lo << RANK_BITS) | hi,
+                               KEY_INVALID))
+    keyimg = jnp.stack(keych, axis=-1).reshape(b, 4 * n)
 
     # strided row interleave for overflow fairness (see row_interleave)
     ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
@@ -178,20 +190,21 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     pix = pm >> 8
 
     # ---- stage B: expand 4 directions per pixel, compact to K -----------
+    # single payload word pgd = pix << 3 | g << 2 | dir (one scatter)
     dvalid = jnp.stack([(pm >> d) & 1 for d in range(4)], axis=2) > 0
-    cand = jnp.broadcast_to((pix << 2)[:, :, None],
-                            (b, p_cap, 4)) | jnp.arange(4, dtype=jnp.int32)
     gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=2)
+    cand = (jnp.broadcast_to((pix << 3)[:, :, None], (b, p_cap, 4))
+            | (gbits << 2) | jnp.arange(4, dtype=jnp.int32))
     pts, counts = segs.compact(
-        dvalid.reshape(b, -1),
-        {"pd": cand.reshape(b, -1), "g": gbits.reshape(b, -1)},
-        k, {"pd": jnp.int32(-1), "g": jnp.int32(0)})
+        dvalid.reshape(b, -1), {"pgd": cand.reshape(b, -1)},
+        k, {"pgd": jnp.int32(-1)})
 
     # ---- reconstruct key/payload for the K kept points -------------------
-    pd = pts["pd"]
-    valid = pd >= 0
-    pixk = jnp.where(valid, pd >> 2, 0)
-    dirk = pd & 3
+    pgd = pts["pgd"]
+    valid = pgd >= 0
+    pixk = jnp.where(valid, pgd >> 3, 0)
+    dirk = pgd & 3
+    g = 2 * ((pgd >> 2) & 1) - 1                        # {0,1} -> {-1,+1}
     dxs = jnp.asarray([d[0] for d in _DIRS], jnp.int32)[dirk]
     dys = jnp.asarray([d[1] for d in _DIRS], jnp.int32)[dirk]
     px = pixk % w
@@ -200,15 +213,8 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
         "image too large for 11-bit coords (w*h < 2^22, apriltag_gpu.cu:774)"
     x2 = 2 * px + dxs
     y2 = 2 * py + dys
-    g = 2 * pts["g"] - 1                                # {0,1} -> {-1,+1}
-    rflat = ranks if ranks.ndim == 2 else ranks.reshape(b, n)
-    r0 = jnp.take_along_axis(rflat, pixk, axis=1)
-    r1 = jnp.take_along_axis(
-        rflat, jnp.clip(pixk + dys * w + dxs, 0, n - 1), axis=1)
-    lo = jnp.minimum(r0, r1) - 1
-    hi = jnp.maximum(r0, r1) - 1
-    key = jnp.where(valid & (lo >= 0),
-                    (lo << RANK_BITS) | hi, KEY_INVALID)
+    key = jnp.take_along_axis(keyimg, (pixk << 2) | dirk, axis=1)
+    key = jnp.where(valid, key, KEY_INVALID)
     pack2 = pack_payload(x2, y2, dxs * g, dys * g)
     return {"key": key, "pack2": jnp.where(valid, pack2, 0)}, counts
 
@@ -232,6 +238,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     slice-gather per phase; per-segment sums come from prefix-sum differences
     at segment boundary indices (NSEG-sized gathers) instead of segment_sum.
     """
+    from ros_vision_tpu.ops import gather_pallas as gp
     b, k = pts["key"].shape
     nseg = cfg.max_segments
     nseg1 = nseg + 1
@@ -245,32 +252,29 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     seg = segs.segment_ids_from_sorted_keys(key_s, valid=valid_pt,
                                             max_segments=nseg)
 
-    # segment boundary tables: one scatter each (role of the cub
-    # ReduceByKey extents pass, apriltag_gpu.cu:829-862)
-    new_seg = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.bool_), seg[:, 1:] != seg[:, :-1]], axis=1)
-    last_seg = jnp.concatenate(
-        [seg[:, 1:] != seg[:, :-1], jnp.ones((b, 1), jnp.bool_)], axis=1)
-    start_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        jnp.zeros((b, nseg1), jnp.int32),
-        jnp.where(new_seg & valid_pt, seg, nseg), i_global)
-    end_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        jnp.full((b, nseg1), -1, jnp.int32),
-        jnp.where(last_seg & valid_pt, seg, nseg), i_global)
-    count = jnp.maximum(end_tab - start_tab + 1, 0)
+    # segment size/extent tables (role of the cub ReduceByKey extents pass,
+    # apriltag_gpu.cu:829-862). Segment ids are sorted, so sizes come from
+    # the one-hot MXU histogram and starts/ends from its exclusive cumsum —
+    # no table scatters. ymin/ymax come from ONE extra single-key sort by
+    # (seg, y): sorts are ~4x cheaper than table scatter-min/max here.
+    from ros_vision_tpu.ops.scan import cumsum_mxu
+    count = gp.histogram(seg, nseg1)                       # (B, NSEG1)
+    countf = count.astype(jnp.float32)
+    start_tab = (cumsum_mxu(countf) - countf).astype(jnp.int32)
+    end_tab = start_tab + count - 1                        # empty: start-1
 
     xmin = segs.take1(x2, jnp.clip(start_tab, 0, k - 1))
     xmax = segs.take1(x2, jnp.clip(end_tab, 0, k - 1))
-    ymin = jax.vmap(lambda t, s, v: t.at[s].min(v))(
-        jnp.full((b, nseg1), _BIGI),
-        jnp.where(valid_pt, seg, nseg), jnp.where(valid_pt, y2, _BIGI))
-    ymax = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        jnp.zeros((b, nseg1), jnp.int32),
-        jnp.where(valid_pt, seg, nseg), jnp.where(valid_pt, y2, 0))
+    ykey = jax.lax.sort([jnp.where(valid_pt, seg, nseg) << 11 | y2],
+                        dimension=1, num_keys=1)[0]
+    ymin = segs.take1(ykey, jnp.clip(start_tab, 0, k - 1)) & 0x7FF
+    ymax = segs.take1(ykey, jnp.clip(end_tab, 0, k - 1)) & 0x7FF
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
     cy = (ymin + ymax).astype(jnp.float32) * 0.5 - 0.028581
 
-    # broadcast (cx, cy) to points: one 2-channel slice-gather
+    # broadcast (cx, cy) to points: one 2-channel slice-gather (monotone
+    # table gathers beat the one-hot MXU formulation here — 0.53 vs 1.40
+    # ms/frame measured, ops/gather_pallas.py docstring)
     cxy_pt = segs.take1(jnp.stack([cx, cy], -1), seg)
     fx2 = x2.astype(jnp.float32)
     fy2 = y2.astype(jnp.float32)
@@ -317,14 +321,10 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     y2 = pack3 & 0x7FF
     valid_pt = seg < nseg
 
-    # start table for the theta order (sizes/count are order-invariant)
-    new_seg = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.bool_), seg[:, 1:] != seg[:, :-1]], axis=1)
-    start_tab2 = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        jnp.zeros((b, nseg1), jnp.int32),
-        jnp.where(new_seg & valid_pt, seg, nseg), i_global)
-
-    # combined per-segment broadcast: [start, count, cx, cy]
+    # segment starts/counts are order-invariant, so the key-order tables
+    # hold for the theta order too; combined per-segment broadcast
+    # [start, count, cx, cy] via one 4-channel slice-gather
+    start_tab2 = start_tab
     ptab = jnp.stack([start_tab2.astype(jnp.float32),
                       count.astype(jnp.float32), cx, cy], axis=-1)
     pbc = segs.take1(ptab, seg)
@@ -464,46 +464,36 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
 
     # ---- top-10 maxima per segment (peak select/sort/extents,
     #      apriltag_gpu.cu:1001-1078). One sort by (segment, -error) with
-    #      the point position as payload; peak ranks, the 11th-peak
-    #      threshold and the qualifying top-10 then fall out of the sorted
-    #      layout with NSEG-sized table ops (no segment_sums or per-point
-    #      threshold gathers) ---------------------------------------------
+    #      the point position as payload; per-segment peak counts via the
+    #      one-hot MXU histogram, block starts via its cumsum, and every
+    #      segment's top-11 (pos, err) via ONE small windowed gather — rank
+    #      10 carries the 11th-peak error as the strictly-greater keep
+    #      threshold (apriltag semantics). No table scatters. --------------
     peak_seg = jnp.where(is_peak, seg, nseg)
     (pseg_s, negerr_s), (ppos_s,) = _sort_by([peak_seg, -errs], [pos],
                                              num_keys=2)
     perr_s = -negerr_s
-    pnew = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.bool_), pseg_s[:, 1:] != pseg_s[:, :-1]],
-        axis=1)
-    pstart_tab = jax.vmap(lambda t, s, v: t.at[s].max(v))(
-        jnp.zeros((b, nseg1), jnp.int32),
-        jnp.where(pnew & (pseg_s < nseg), pseg_s, nseg), i_global)
-    # threshold = error of the (MAX_NMAXIMA)-th ranked peak (0-based rank 10
-    # = 11th largest); keep strictly greater (apriltag semantics). Segments
-    # with <= 10 peaks get -inf (keep everything).
-    p10 = jnp.clip(pstart_tab + MAX_NMAXIMA, 0, k - 1)
-    has10 = segs.take1(pseg_s, p10) == \
-        jnp.arange(nseg1, dtype=jnp.int32)[None, :]
-    thresh_tab = jnp.where(has10, segs.take1(perr_s, p10), -jnp.inf)
-    pbc2 = segs.take1(jnp.stack(
-        [pstart_tab.astype(jnp.float32), thresh_tab], -1), pseg_s)
-    prank = i_global - pbc2[..., 0].astype(jnp.int32)
-    qualify = (pseg_s < nseg) & (prank < MAX_NMAXIMA) & \
-        (perr_s > pbc2[..., 1])
-    nmax = jax.vmap(lambda t, s, v: t.at[s].add(v))(
-        jnp.zeros((b, nseg1), jnp.int32),
-        jnp.where(qualify, pseg_s, nseg), qualify.astype(jnp.int32))
-    # maxima positions land in slots by error rank, then get re-sorted
-    # ascending by position (the combo tables assume position order; invalid
-    # slots sort to the back and are zeroed under the nmax mask)
-    slots = jnp.full((b, nseg1 * MAX_NMAXIMA + 1), _BIGI, jnp.int32)
-    slot_idx = jnp.where(qualify, pseg_s * MAX_NMAXIMA + prank,
-                         nseg1 * MAX_NMAXIMA)
-    slots = jax.vmap(lambda s, ix, v: s.at[ix].set(v))(
-        slots, slot_idx, ppos_s)
-    maxima = jax.lax.sort(
-        [slots[:, :nseg1 * MAX_NMAXIMA].reshape(b, nseg1, MAX_NMAXIMA)],
-        dimension=2, num_keys=1)[0]
+    pk_count = gp.histogram(peak_seg, nseg1)
+    pkf = pk_count.astype(jnp.float32)
+    pstart = (cumsum_mxu(pkf) - pkf).astype(jnp.int32)
+    r11 = jnp.arange(MAX_NMAXIMA + 1, dtype=jnp.int32)
+    win_idx = jnp.clip(pstart[..., None] + r11, 0, k - 1)  # (B, NSEG1, 11)
+    src = jnp.stack([ppos_s.astype(jnp.float32), perr_s], -1)
+    win = segs.take1(src, win_idx.reshape(b, -1)).reshape(
+        b, nseg1, MAX_NMAXIMA + 1, 2)
+    in_blk = r11[None, None, :] < pk_count[..., None]
+    werr = jnp.where(in_blk, win[..., 1], -jnp.inf)
+    thresh = jnp.where(pk_count > MAX_NMAXIMA, werr[..., MAX_NMAXIMA],
+                       -jnp.inf)
+    # errors are sorted descending within a segment, so the strictly-greater
+    # predicate selects a prefix: qual counts AND locates the maxima
+    qual = in_blk[..., :MAX_NMAXIMA] & \
+        (werr[..., :MAX_NMAXIMA] > thresh[..., None])
+    nmax = qual.sum(-1)
+    # maxima positions re-sorted ascending (the combo tables assume position
+    # order; invalid slots sort to the back and are zeroed under nmax)
+    mx = jnp.where(qual, win[..., :MAX_NMAXIMA, 0].astype(jnp.int32), _BIGI)
+    maxima = jax.lax.sort([mx], dimension=2, num_keys=1)[0]
     maxima = jnp.where(
         jnp.arange(MAX_NMAXIMA, dtype=jnp.int32)[None, None, :]
         < nmax[..., None], maxima, 0)

@@ -3,9 +3,11 @@
 
 The reference records camera topics with `ros2 bag record` and replays them
 for offline analysis (launch_vision.py:86-153 + README bag workflow). This
-tool reads a framework bag (runtime/bags.py), runs the TPU detector over
-every recorded frame of an image topic, and writes a detections JSONL (and
-optionally annotated images).
+tool reads either a real ROS2 bag (rosbag2 sqlite3 directory or .db3 file,
+via runtime/rosbag2.py — the team's existing recordings) or a framework bag
+(runtime/bags.py), runs the TPU detector over every recorded frame of an
+image topic, and writes a detections JSONL (and optionally annotated
+images).
 """
 from __future__ import annotations
 
@@ -26,18 +28,37 @@ def main(argv=None):
     ap.add_argument("--cy", type=float)
     args = ap.parse_args(argv)
 
+    import glob
+
     import cv2
     import numpy as np
     from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
-    from ros_vision_tpu.runtime.bags import BagReader
     from ros_vision_tpu.runtime.vision_node import VisionNode
 
-    reader = BagReader(args.bag_dir)
-    topic = args.topic or next(t for t in reader.topics() if "image" in t)
+    def iter_frames():
+        """Yield (header, image) from either bag flavor."""
+        is_ros2 = args.bag_dir.endswith(".db3") or (
+            os.path.isdir(args.bag_dir)
+            and glob.glob(os.path.join(args.bag_dir, "*.db3")))
+        if is_ros2:
+            from ros_vision_tpu.runtime.rosbag2 import Rosbag2Reader
+            reader = Rosbag2Reader(args.bag_dir)
+            topic = args.topic or next(iter(reader.image_topics()))
+            for seq, (ts, img) in enumerate(reader.read_images(topic)):
+                yield {"seq": seq, "t": ts / 1e9}, img, topic
+        else:
+            from ros_vision_tpu.runtime.bags import BagReader
+            reader = BagReader(args.bag_dir)
+            topic = args.topic or next(
+                t for t in reader.topics() if "image" in t)
+            for header, img in reader.read_images(topic):
+                yield header, img, topic
+
     det = None
     n = 0
+    topic = None
     with open(args.out, "w") as f:
-        for header, img in reader.read_images(topic):
+        for header, img, topic in iter_frames():
             if img is None:
                 continue
             gray = img if img.ndim == 2 else cv2.cvtColor(

@@ -43,8 +43,10 @@ def _random_scene(rng, n_tags):
                         seed=int(rng.integers(1 << 30)))
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("seed", list(range(20)))
 def test_fuzz_tpu_matches_oracle(seed, tpu_det):
+    # 20 seeds in-suite; scripts/soak.py runs the full 126+-seed sweep with
+    # identical scene generation and assertions
     rng = np.random.default_rng(seed)
     img, placed = _random_scene(rng, int(rng.integers(1, 4)))
     oracle = OracleDetector(fx=FX, fy=FY, cx=CX, cy=CY,

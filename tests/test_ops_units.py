@@ -120,3 +120,48 @@ def test_polar_rotation():
         assert np.abs(P[i] @ P[i].T - np.eye(3)).max() < 1e-4
         assert abs(np.linalg.det(P[i]) - 1) < 1e-4
         assert np.abs(P[i] - R[i]).max() < 0.15
+
+
+def test_ccl_flood_interpret_matches_xla():
+    """Stride-ladder fixpoint flood (the default TPU CCL) must match the
+    XLA reference labeling exactly, including sizes and ranks."""
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import ccl, threshold as thr
+    img, _ = render_scene(
+        [3, 9], [simple_square_corners(70, 60, 34),
+                 simple_square_corners(190, 90, 30, angle_deg=40)],
+        256, 160, noise_sigma=2.0, seed=5)
+    t = thr.adaptive_threshold(thr.decimate2(jnp.asarray(img[None])))[0]
+    l1, s1, r1 = ccl.label_components(t)
+    l2, s2, r2 = ccl.label_components_flood(t, interpret=True)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_gather_pallas_kernels_interpret():
+    """One-hot MXU histogram/table-gather == jnp reference semantics
+    (bit-exact; used for segment count tables in ops/quadfit.py)."""
+    from ros_vision_tpu.ops import gather_pallas as gp
+    rng = np.random.default_rng(0)
+    b, k, s, c = 3, 4096, 1025, 4
+    idx = jnp.asarray(rng.integers(0, s, (b, k)), jnp.int32)
+    tbl = jnp.asarray(rng.random((b, s, c), np.float32))
+    got = gp.value_histogram(idx, s, interpret=True)
+    assert np.array_equal(np.asarray(got),
+                          np.asarray(gp.value_histogram_ref(idx, s)))
+    got2 = gp.table_take_cm(tbl, idx, interpret=True)
+    assert np.array_equal(np.asarray(got2),
+                          np.asarray(gp.table_take_cm_ref(tbl, idx)))
+
+
+def test_label_histogram_interpret():
+    from ros_vision_tpu.ops import ccl_pallas
+    rng = np.random.default_rng(1)
+    b, n = 2, 5000
+    lab = jnp.asarray(rng.integers(0, n, (b, n)), jnp.int32)
+    got = np.asarray(ccl_pallas.label_histogram(lab, interpret=True))
+    want = np.stack([np.bincount(np.asarray(lab)[i], minlength=n)
+                     for i in range(b)])
+    assert np.array_equal(got, want)
