@@ -50,6 +50,12 @@ class DetectorConfig:
     max_quads: int = 128
     refine_edges: bool = True
     estimate_pose: bool = True
+    active_points: int | None = None  # cluster_and_fit (sorts, prefix sums,
+    # moments) runs on only this many point slots when every boundary
+    # candidate fits (None = auto: max_points // 4 for large configs).
+    # Compaction places valid points first, so the narrow branch is exact;
+    # overflowing frames take a lax.cond fallback over all max_points slots.
+    # Sorts are the dominant quadfit cost and scale superlinearly with K.
     max_active_quads: int = 32   # refine/decode/pose process only this many
     # area-ranked quad slots when every valid quad fits (the overwhelmingly
     # common case — FRC fields have <= 16 visible tags); frames with more
@@ -89,6 +95,13 @@ class TPUDetector:
             max_segments=config.max_segments,
             max_quads=config.max_quads,
             tag_width=max(3, self.family.border_size // dec.QUAD_DECIMATE))
+        ka = config.active_points
+        if ka is None:
+            ka = config.max_points // 4 if config.max_points >= 32768 \
+                else config.max_points
+        self._active_points = min(ka, config.max_points)
+        self._qcfg_narrow = dataclasses.replace(
+            self._qcfg, max_points=self._active_points)
         self._fn = jax.jit(self._detect_device)
 
     def default_intrinsics(self, batch: int) -> np.ndarray:
@@ -129,7 +142,29 @@ class TPUDetector:
         else:
             labels, sizes, ranks = ccl.label_components(threshim)
         pts, _counts = quadfit.boundary_points(threshim, ranks, self._qcfg)
-        qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)
+        kmax = cfg.max_points
+        ka = self._active_points
+        if ka < kmax:
+            # compaction places valid candidates first, so when every frame
+            # fits in `ka` slots the narrow cluster_and_fit is exact; only
+            # overflowing frames pay for full-width sorts
+            def pad_k(x):
+                if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == ka:
+                    widths = [(0, 0)] * x.ndim
+                    widths[1] = (0, kmax - ka)
+                    return jnp.pad(x, widths)
+                return x
+
+            def narrow():
+                ptsn = {kk: v[:, :ka] for kk, v in pts.items()}
+                out = quadfit.cluster_and_fit(ptsn, decim, self._qcfg_narrow)
+                return {kk: pad_k(v) for kk, v in out.items()}
+
+            qf = jax.lax.cond(_counts.max() <= ka, narrow,
+                              lambda: quadfit.cluster_and_fit(
+                                  pts, decim, self._qcfg))
+        else:
+            qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)
         corners = dec.adjust_pixel_centers(qf["corners"])
         qvalid = qf["quad_valid"]
 

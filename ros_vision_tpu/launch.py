@@ -146,6 +146,7 @@ class VisionSystem:
                  timing_csv_path: str | None = None,
                  enable_bag_recording: bool = False,
                  enable_viewer: bool = True,
+                 enable_foxglove: bool = False,
                  enable_nt: bool = True,
                  camera_map: dict | None = None,
                  calibration_dir: str | None = None,
@@ -254,6 +255,38 @@ class VisionSystem:
             for ch in channels:
                 ch.image_publisher = self.viewer.publish
 
+        self.foxglove = None
+        if enable_foxglove:
+            # ws-protocol bridge for Foxglove Studio (the reference launches
+            # foxglove_bridge alongside the nodes, launch_vision.py:313)
+            from ros_vision_tpu.runtime.foxglove import FoxgloveBridge
+            self.foxglove = FoxgloveBridge()
+
+            def compose(loc, prev):
+                def pub(img, _fg=self.foxglove, _loc=loc, _prev=prev):
+                    if _prev is not None:
+                        _prev(img)
+                    _fg.publish_image(f"/{_loc}/annotated", img)
+                return pub
+
+            def fg_poses(msg, _fg=self.foxglove):
+                class _P:
+                    pass
+                ds = []
+                for det in msg.detections:
+                    p = _P()
+                    p.pose_t = np.array([det.x, det.y, det.z])
+                    p.pose_R = np.eye(3)
+                    ds.append(p)
+                _fg.publish_poses(f"/{msg.frame_id}/april_tags", ds,
+                                  frame_id="robot",
+                                  timestamp_ns=int(msg.stamp * 1e9))
+
+            for ch in channels:
+                ch.image_publisher = compose(ch.location,
+                                             ch.image_publisher)
+                ch.pose_publisher = fg_poses
+
         self.bag = None
         if enable_bag_recording:
             from ros_vision_tpu.runtime.bags import BagWriter
@@ -317,6 +350,8 @@ class VisionSystem:
             self.bag.close()
         if self.viewer is not None:
             self.viewer.close()
+        if self.foxglove is not None:
+            self.foxglove.close()
 
 
 def load_calibration(serial: str, calibration_dir: str | None = None):
@@ -351,6 +386,8 @@ def main(argv=None):
     ap.add_argument("--timing-csv-path")
     ap.add_argument("--enable-bag-recording", action="store_true")
     ap.add_argument("--no-viewer", action="store_true")
+    ap.add_argument("--foxglove", action="store_true",
+                    help="start the Foxglove Studio ws-protocol bridge")
     ap.add_argument("--no-nt", action="store_true")
     ap.add_argument("--config")
     args = ap.parse_args(argv)
@@ -362,6 +399,7 @@ def main(argv=None):
         timing_csv_path=args.timing_csv_path,
         enable_bag_recording=args.enable_bag_recording,
         enable_viewer=not args.no_viewer,
+        enable_foxglove=args.foxglove,
         enable_nt=not args.no_nt)
     system.start()
     try:

@@ -46,7 +46,7 @@ def _finish(p: jnp.ndarray, b: int, n: int, min_blob: int):
         (sizes_at_root >= min_blob)
     from ros_vision_tpu.ops.scan import cumsum_mxu
     rank_at_root = cumsum_mxu(
-        is_big_root.astype(jnp.float32)).astype(jnp.int32)
+        is_big_root.astype(jnp.float32), binary=True).astype(jnp.int32)
     rank_at_root = jnp.where(is_big_root & (rank_at_root <= MAX_BLOBS),
                              rank_at_root, 0)
     packed_at_root = (rank_at_root << _SIZE_BITS) | sizes_at_root
@@ -174,9 +174,11 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
     return p, sizes, ranks
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "min_blob"))
+@functools.partial(jax.jit, static_argnames=("interpret", "min_blob",
+                                             "strides", "broadcast"))
 def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
-                           min_blob: int = 25):
+                           min_blob: int = 25, strides: tuple | None = None,
+                           broadcast: str = "gather"):
     """Fully kernel-resident CCL: ONE stride-ladder flood to fixpoint labels
     the components, then sizes/ranks are broadcast back by a SECOND cheap
     flood of per-root packed data instead of 1M-index gathers.
@@ -192,10 +194,13 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
 
     b, h, w = threshim.shape
     n = h * w
+    if strides is None:
+        strides = ccl_pallas._STRIDES
     init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                             (b, n)).reshape(b, h, w)
-    masks = ccl_pallas.build_ladder_masks(threshim)
+    masks = ccl_pallas.build_ladder_masks(threshim, strides)
     p = ccl_pallas.propagate_fixpoint(threshim, init, masks=masks,
+                                      strides=strides,
                                       interpret=interpret).reshape(b, n)
 
     # component sizes over the label space via the one-hot MXU histogram;
@@ -205,16 +210,22 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
     counts = ccl_pallas.label_histogram(p, interpret=interpret)
     is_root_v = counts > 0
     is_big_v = counts >= min_blob
-    rank_v = cumsum_mxu(is_big_v.astype(jnp.float32)).astype(jnp.int32)
+    rank_v = cumsum_mxu(is_big_v.astype(jnp.float32),
+                        binary=True).astype(jnp.int32)
     rank_v = jnp.where(is_big_v & (rank_v <= MAX_BLOBS), rank_v, 0)
     # pack rank (12 bits) | size (19 bits — decimated images can't exceed
     # 2^19 px under the w*h < 2^22 full-res cap)
     packed_v = jnp.where(is_root_v,
                          (rank_v << 19) | jnp.minimum(counts, (1 << 19) - 1),
                          jnp.int32(2 ** 31 - 1))
-    packed = ccl_pallas.propagate_fixpoint(
-        threshim, packed_v.reshape(b, h, w), masks=masks,
-        interpret=interpret).reshape(b, n)
+    if broadcast == "flood":
+        packed = ccl_pallas.propagate_fixpoint(
+            threshim, packed_v.reshape(b, h, w), masks=masks,
+            strides=strides, interpret=interpret).reshape(b, n)
+    else:
+        # labels index the per-root table directly (labels ARE flat pixel
+        # indices): one (B, N) gather
+        packed = jnp.take_along_axis(packed_v, p, axis=1)
     sizes = packed & ((1 << 19) - 1)
     ranks = packed >> 19
     return p, sizes, ranks

@@ -97,14 +97,16 @@ def _kernel(sweeps_ref, thresh_ref, lab_in_ref, lab_out_ref):
 # The mask build itself is pure elementwise rolls, so it runs XLA-side
 # (fused, HBM-bandwidth cheap) and the kernel receives the finished bitmask
 # — keeping the kernel body small enough for Mosaic's scoped-VMEM stack.
-_STRIDES = (2, 4, 8, 16, 32)
+_STRIDES = (4, 16, 64)    # per-sweep reach = sum + 1 = 85 px along runs
 _MAX_SWEEPS = 16384       # safety bound (never reached in practice)
 
 
-def build_ladder_masks(threshim: jnp.ndarray) -> jnp.ndarray:
+def build_ladder_masks(threshim: jnp.ndarray,
+                       strides: tuple = _STRIDES) -> jnp.ndarray:
     """XLA-side loop-invariant connectivity bits for (B, H, W) uint8
     threshim: bits 0..7 = the 8 unit directions (_OFFSETS order),
-    8+4k+j = stride _STRIDES[k], direction j in (+x, -x, +y, -y)."""
+    8+4k+j = stride strides[k], direction j in (+x, -x, +y, -y)."""
+    assert 8 + 4 * len(strides) <= 32
     v = threshim.astype(jnp.int32)
     _, h, w = v.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
@@ -133,28 +135,32 @@ def build_ladder_masks(threshim: jnp.ndarray) -> jnp.ndarray:
     # straight-chain doubling; base +x is bit 1 ((0,1)), +y is bit 3 ((1,0)).
     # Border safety is inductive: c_1 is False in the last column/row, and
     # c_2s(p) = c_s(p) & c_s(p+s) only reads wrapped garbage where c_s(p)
-    # is already False.
+    # is already False. Power-of-two chains are cached and the requested
+    # strides (any powers of two) pick their bits from the cache.
     cpx = (mask_bits >> 1) & 1
     cpy = (mask_bits >> 3) & 1
+    chains = {1: (cpx, cpy)}
+    s = 1
+    while s < max(strides):
+        cpx = cpx & roll(cpx, 0, s)
+        cpy = cpy & roll(cpy, s, 0)
+        s *= 2
+        chains[s] = (cpx, cpy)
     bit = 8
-    for s in _STRIDES:
-        half = s // 2
-        cpx = cpx & roll(cpx, 0, half)
-        cpy = cpy & roll(cpy, half, 0)
-        cnx = roll(cpx, 0, -s)
-        cny = roll(cpy, -s, 0)
-        for m in (cpx, cnx, cpy, cny):
+    for s in strides:
+        px, py = chains[s]
+        for m in (px, roll(px, 0, -s), py, roll(py, -s, 0)):
             mask_bits = mask_bits | (m << bit)
             bit += 1
     return mask_bits
 
 
-def _ladder_sweep(mask_bits, lab):
+def _ladder_sweep(mask_bits, lab, strides):
     """One chained ladder sweep: largest jumps first, unit 8-neighborhood
     last, each jump reading the running minimum."""
     m = lab
-    for k in reversed(range(len(_STRIDES))):
-        s = _STRIDES[k]
+    for k in reversed(range(len(strides))):
+        s = strides[k]
         for j, (dy, dx) in enumerate(((0, s), (0, -s), (s, 0), (-s, 0))):
             bit = 8 + 4 * k + j
             nl = _roll2(m, dy, dx)
@@ -166,38 +172,41 @@ def _ladder_sweep(mask_bits, lab):
     return m
 
 
-def _fix_kernel(mask_ref, val_in_ref, val_out_ref):
-    mask_bits = mask_ref[0]
+def _make_fix_kernel(strides):
+    def _fix_kernel(mask_ref, val_in_ref, val_out_ref):
+        mask_bits = mask_ref[0]
 
-    def step(state):
-        lab, _, it = state
-        new = _ladder_sweep(mask_bits, lab)
-        return new, jnp.any(new != lab), it + 1
+        def step(state):
+            lab, _, it = state
+            new = _ladder_sweep(mask_bits, lab, strides)
+            return new, jnp.any(new != lab), it + 1
 
-    lab, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < _MAX_SWEEPS), step,
-        (val_in_ref[0], jnp.bool_(True), jnp.int32(0)))
-    val_out_ref[0] = lab
+        lab, _, _ = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < _MAX_SWEEPS), step,
+            (val_in_ref[0], jnp.bool_(True), jnp.int32(0)))
+        val_out_ref[0] = lab
+    return _fix_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
 def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
                        masks: jnp.ndarray | None = None,
+                       strides: tuple = _STRIDES,
                        interpret: bool = False) -> jnp.ndarray:
     """Min-flood `values` (B, H, W) int32 over the same-value connectivity
     of `threshim` to FIXPOINT (in-kernel convergence loop). With values =
     flat pixel indices this is complete connected-components labeling; with
     values = per-root packed data (BIG elsewhere) it broadcasts root data to
     every component pixel — replacing 1M-index gathers with VMEM sweeps.
-    Pass `masks` (build_ladder_masks output) to share one mask build across
-    several floods of the same threshim."""
+    Pass `masks` (build_ladder_masks output for the same strides) to share
+    one mask build across several floods of the same threshim."""
     b, h, w = threshim.shape
     if masks is None:
-        masks = build_ladder_masks(threshim)
+        masks = build_ladder_masks(threshim, strides)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _fix_kernel,
+        _make_fix_kernel(strides),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),

@@ -156,8 +156,10 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
         ((ys >= 1) & (ys <= h - 2))[None, :, None]
 
     # per-pixel candidate mask + gradient-sign bits (one int32 image) and
-    # per-direction blob-pair key image (B, H*W, 4) -> flat (B, 4N) so that
-    # flat index == (pix << 2 | dir)
+    # per-direction blob-pair key image (B, H*W, 4): keys ride the stage-A
+    # pixel compaction as a 4-channel slice-gather (~0.2 ms/frame) and the
+    # stage-B scatter as a second payload word — a (B, 4N)-table gather at
+    # the K kept points costs ~3.5 ms/frame (measured v5e), 5x more
     maskbits = jnp.zeros((b, h, w), jnp.int32)
     keych = []
     for d, (dx, dy) in enumerate(_DIRS):
@@ -172,7 +174,7 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
         hi = jnp.maximum(rimg, nr) - 1
         keych.append(jnp.where(ok & (lo >= 0), (lo << RANK_BITS) | hi,
                                KEY_INVALID))
-    keyimg = jnp.stack(keych, axis=-1).reshape(b, 4 * n)
+    keyimg = jnp.stack(keych, axis=-1).reshape(b, n, 4)
 
     # strided row interleave for overflow fairness (see row_interleave)
     ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
@@ -190,16 +192,19 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     pix = pm >> 8
 
     # ---- stage B: expand 4 directions per pixel, compact to K -----------
-    # single payload word pgd = pix << 3 | g << 2 | dir (one scatter)
+    # payloads: pgd = pix << 3 | g << 2 | dir, plus the blob-pair key
+    # (slice-gathered at the compacted pixels, channel-aligned with dir)
     dvalid = jnp.stack([(pm >> d) & 1 for d in range(4)], axis=2) > 0
     gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=2)
     cand = (jnp.broadcast_to((pix << 3)[:, :, None], (b, p_cap, 4))
             | (gbits << 2) | jnp.arange(4, dtype=jnp.int32))
+    keyp = jnp.take_along_axis(keyimg, pix[..., None], axis=1)  # (B, P, 4)
     pts, counts = segs.compact(
-        dvalid.reshape(b, -1), {"pgd": cand.reshape(b, -1)},
-        k, {"pgd": jnp.int32(-1)})
+        dvalid.reshape(b, -1),
+        {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)},
+        k, {"pgd": jnp.int32(-1), "key": jnp.int32(KEY_INVALID)})
 
-    # ---- reconstruct key/payload for the K kept points -------------------
+    # ---- reconstruct payload for the K kept points -----------------------
     pgd = pts["pgd"]
     valid = pgd >= 0
     pixk = jnp.where(valid, pgd >> 3, 0)
@@ -213,8 +218,7 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
         "image too large for 11-bit coords (w*h < 2^22, apriltag_gpu.cu:774)"
     x2 = 2 * px + dxs
     y2 = 2 * py + dys
-    key = jnp.take_along_axis(keyimg, (pixk << 2) | dirk, axis=1)
-    key = jnp.where(valid, key, KEY_INVALID)
+    key = jnp.where(valid, pts["key"], KEY_INVALID)
     pack2 = pack_payload(x2, y2, dxs * g, dys * g)
     return {"key": key, "pack2": jnp.where(valid, pack2, 0)}, counts
 

@@ -23,7 +23,8 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
     """
     from ros_vision_tpu.ops.scan import cumsum_mxu
     b, m = valid.shape
-    pos = cumsum_mxu(valid.astype(jnp.float32)).astype(jnp.int32) - 1
+    pos = cumsum_mxu(valid.astype(jnp.float32),
+                     binary=True).astype(jnp.int32) - 1
     counts = jnp.minimum(pos[:, -1] + 1, k)
     ok = valid & (pos < k)
     idx = jnp.where(ok, pos, k)  # k = trash slot
@@ -49,7 +50,9 @@ def segment_ids_from_sorted_keys(*keys: jnp.ndarray, valid: jnp.ndarray,
             [jnp.ones_like(kk[:, :1], jnp.bool_), kk[:, 1:] != kk[:, :-1]],
             axis=1)
     change = change & valid
-    seg = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1
+    from ros_vision_tpu.ops.scan import cumsum_mxu
+    seg = cumsum_mxu(change.astype(jnp.float32),
+                     binary=True).astype(jnp.int32) - 1
     seg = jnp.where(valid & (seg < max_segments), seg, max_segments)
     return seg
 

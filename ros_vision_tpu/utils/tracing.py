@@ -40,11 +40,11 @@ def _stages(det):
         return {"decimated": decim, "threshim": t}
 
     def s_ccl(st):
-        # mirror the detector's backend selection (detector.py): the hybrid
+        # mirror the detector's backend selection (detector.py): the flood
         # Pallas CCL on TPU, the XLA CCL on CPU — so stage timings reflect
         # the real pipeline
         if jax.default_backend() in ("tpu", "axon"):
-            labels, sizes, ranks = ccl.label_components_hybrid(
+            labels, sizes, ranks = ccl.label_components_flood(
                 st["threshim"])
         else:
             labels, sizes, ranks = ccl.label_components(st["threshim"])
