@@ -39,7 +39,7 @@ CAMERA_TARGET_FPS = 100.0  # 1280x800@100fps MJPG target (system_config.json)
 
 def main():
     batches = [int(x) for x in
-               os.environ.get("BENCH_BATCHES", "1,2,4").split(",")]
+               os.environ.get("BENCH_BATCHES", "1,4,8").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     img, _ = render_scene(
         [0, 42, 311, 100],

@@ -56,6 +56,10 @@ class DetectorConfig:
     # Compaction places valid points first, so the narrow branch is exact;
     # overflowing frames take a lax.cond fallback over all max_points slots.
     # Sorts are the dominant quadfit cost and scale superlinearly with K.
+    screen_hamming: int | None = 4   # loose pre-decode gate for the
+    # decode-gated refine narrowing (None disables): quads whose UNREFINED
+    # best-code distance exceeds this never reach refine/decode/pose.
+    # Final accept stays at hamming <= 2 on refined corners.
     max_active_quads: int = 32   # refine/decode/pose process only this many
     # area-ranked quad slots when every valid quad fits (the overwhelmingly
     # common case — FRC fields have <= 16 visible tags); frames with more
@@ -230,18 +234,42 @@ class TPUDetector:
         nq = cfg.max_quads
         na = cfg.max_active_quads
         if na < nq:
-            # quads are area-priority ordered, so when every frame's valid
-            # quads fit in the first `na` slots the narrow branch is exact;
-            # busier frames take the full-width branch. XLA's conditional
-            # executes only the selected branch at runtime.
             def pad(x):
                 widths = [(0, 0)] * x.ndim
                 widths[1] = (0, nq - na)
                 return jnp.pad(x, widths)
 
+            wide = lambda: tail(corners, qvalid)      # noqa: E731
+            if cfg.refine_edges and cfg.screen_hamming is not None:
+                # decode-gated refine: noisy frames fill ALL quad slots
+                # with junk candidates, and refine_edges' normal-search
+                # gathers are ~20x a decode per quad — so run a LOOSE
+                # decode on the unrefined corners first (a quad whose
+                # best code is > screen_hamming bits away cannot become a
+                # detection: the final gate is <= 2 bits, and refine moves
+                # corners well under the ~2 px it would take to flip 3+
+                # bits), then refine/decode/pose only the <= na screened
+                # survivors. Random-texture quads land at hamming ~8-14,
+                # so the screen removes essentially all of them.
+                pre = dec.decode_quads(gray, corners, qvalid, self.family,
+                                       self._code_matrix)
+                screen = qvalid & (pre["hamming"] <= cfg.screen_hamming)
+                prio = jnp.where(screen, pre["margin"], -jnp.inf)
+                _, top_idx = jax.lax.top_k(prio, na)
+
+                def narrow():
+                    c_n = jnp.take_along_axis(
+                        corners, top_idx[..., None, None], axis=1)
+                    v_n = jnp.take_along_axis(screen, top_idx, axis=1)
+                    return jax.tree_util.tree_map(pad, tail(c_n, v_n))
+
+                return jax.lax.cond(screen.sum(axis=1).max() <= na,
+                                    narrow, wide)
+            # no-refine path: quads are area-priority ordered, so when
+            # every frame's valid quads fit in the first `na` slots the
+            # narrow branch is exact; busier frames take the full width
             narrow = lambda: jax.tree_util.tree_map(  # noqa: E731
                 pad, tail(corners[:, :na], qvalid[:, :na]))
-            wide = lambda: tail(corners, qvalid)      # noqa: E731
             return jax.lax.cond(qvalid.sum(axis=1).max() <= na,
                                 narrow, wide)
         return tail(corners, qvalid)

@@ -174,11 +174,56 @@ def label_components(threshim: jnp.ndarray, max_iters: int = 32,
     return p, sizes, ranks
 
 
+def _coarsen_thresh(threshim: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) {0,127,255} -> (B, H/2, W/2): 255 where the 2x2 block is
+    all-white, 0 where all-black, 127 (isolated) otherwise. Within a uniform
+    block all 4 pixels are mutually connected (white: 8-way incl. diagonals;
+    black: the 4-cycle of side adjacencies), and adjacency between uniform
+    blocks of the same value implies pixel-level connectivity (side contact;
+    diagonal white blocks touch corner-diagonally = 8-way) — so the SAME
+    sweep rules apply to the coarse image and any label it propagates is a
+    label of genuinely connected pixels."""
+    b, h, w = threshim.shape
+    q = threshim.reshape(b, h // 2, 2, w // 2, 2)
+    allw = (q == 255).all(axis=(2, 4))
+    allb = (q == 0).all(axis=(2, 4))
+    return jnp.where(allw, jnp.uint8(255),
+                     jnp.where(allb, jnp.uint8(0), jnp.uint8(127)))
+
+
+def _flood_multilevel(threshim, values, interpret, strides, levels):
+    """Pyramid-preconditioned min-flood: flood the uniform-block coarse
+    graph first (4x smaller, and the tortuous around-the-specks paths of
+    the big background component shortcut through all-white-block
+    highways), seed the fine flood with the coarse labels, finish at full
+    resolution. Exact: seeds only ever carry labels from genuinely
+    connected pixels, and min-flood is monotone."""
+    from ros_vision_tpu.ops import ccl_pallas
+    b, h, w = threshim.shape
+    if levels > 0 and h % 2 == 0 and w % 2 == 0 and h // 2 >= 32 \
+            and w // 2 >= 128:
+        ct = _coarsen_thresh(threshim)
+        cv = values.reshape(b, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+        cl = _flood_multilevel(ct, cv, interpret, strides, levels - 1)
+        up = jnp.broadcast_to(cl[:, :, None, :, None],
+                              (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
+        ct_up = jnp.broadcast_to(ct[:, :, None, :, None],
+                                 (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
+        values = jnp.where(ct_up != 127, jnp.minimum(values, up), values)
+    return ccl_pallas.propagate_fixpoint(threshim, values, strides=strides,
+                                         interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "min_blob",
-                                             "strides", "broadcast"))
+                                             "strides", "broadcast",
+                                             "levels"))
 def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
                            min_blob: int = 25, strides: tuple | None = None,
-                           broadcast: str = "gather"):
+                           broadcast: str = "gather", levels: int = 0):
+    # levels>0 enables the pyramid preconditioner (_flood_multilevel);
+    # measured a wash on v5e at 400x640 (43 -> 46 ms at B=4: the coarse
+    # kernel + up/down sampling offset the sweep savings) — kept for
+    # bigger frames where the fixpoint sweep count grows with diameter.
     """Fully kernel-resident CCL: ONE stride-ladder flood to fixpoint labels
     the components, then sizes/ranks are broadcast back by a SECOND cheap
     flood of per-root packed data instead of 1M-index gathers.
@@ -198,10 +243,8 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
         strides = ccl_pallas._STRIDES
     init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                             (b, n)).reshape(b, h, w)
-    masks = ccl_pallas.build_ladder_masks(threshim, strides)
-    p = ccl_pallas.propagate_fixpoint(threshim, init, masks=masks,
-                                      strides=strides,
-                                      interpret=interpret).reshape(b, n)
+    p = _flood_multilevel(threshim, init, interpret, strides,
+                          levels).reshape(b, n)
 
     # component sizes over the label space via the one-hot MXU histogram;
     # counts[v] > 0 iff v is some component's label (= root pixel index),
@@ -220,7 +263,7 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
                          jnp.int32(2 ** 31 - 1))
     if broadcast == "flood":
         packed = ccl_pallas.propagate_fixpoint(
-            threshim, packed_v.reshape(b, h, w), masks=masks,
+            threshim, packed_v.reshape(b, h, w),
             strides=strides, interpret=interpret).reshape(b, n)
     else:
         # labels index the per-root table directly (labels ARE flat pixel

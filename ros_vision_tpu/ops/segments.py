@@ -21,18 +21,23 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
     Equivalent role to cub::DeviceSelect::If (apriltag_gpu.cu:788-802), with
     a hard cap instead of a device-side count.
     """
-    from ros_vision_tpu.ops.scan import cumsum_mxu
     b, m = valid.shape
-    pos = cumsum_mxu(valid.astype(jnp.float32),
-                     binary=True).astype(jnp.int32) - 1
-    counts = jnp.minimum(pos[:, -1] + 1, k)
-    ok = valid & (pos < k)
-    idx = jnp.where(ok, pos, k)  # k = trash slot
+    counts = jnp.minimum(valid.sum(axis=1), k)
+    # stable sort by invalidity: valid elements move to the front in their
+    # original order. On TPU a 1-key sort with payloads is ~2x cheaper than
+    # the cumsum+scatter formulation (scatters lower near-scalar; measured
+    # 1.3 vs 2.5 ms/op at (4, 131072) on v5e).
+    keys = list(payload)
+    ops = [(~valid).astype(jnp.int32)] + [payload[kk] for kk in keys]
+    sorted_ = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+    slot_ok = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
     out = {}
-    for key, arr in payload.items():
-        buf = jnp.full((b, k + 1), fill[key], arr.dtype)
-        buf = jax.vmap(lambda bf, ix, a: bf.at[ix].set(a))(buf, idx, arr)
-        out[key] = buf[:, :k]
+    for i, kk in enumerate(keys):
+        arr = sorted_[1 + i][:, :k]
+        if m < k:
+            arr = jnp.pad(arr, ((0, 0), (0, k - m)),
+                          constant_values=fill[kk])
+        out[kk] = jnp.where(slot_ok, arr, fill[kk])
     return out, counts
 
 
