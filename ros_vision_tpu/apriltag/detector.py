@@ -134,10 +134,13 @@ class TPUDetector:
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:
             # auto: TPU backend AND the VMEM-resident kernel's working set
-            # fits the 16MB scoped limit (~300k decimated pixels)
+            # fits the 16MB scoped limit. Connectivity masks are built
+            # XLA-side, so the kernel holds only ~3 full-frame planes —
+            # verified compiling + running at 540x960 (1080p decimated,
+            # 518k px); the gate covers that with a small margin.
             use_pallas_ccl = (jax.default_backend() in ("tpu", "axon")
                               and (cfg.width // 2) * (cfg.height // 2)
-                              <= 300_000)
+                              <= 540_000)
         if use_pallas_ccl:
             # stride-ladder flood to fixpoint: fully kernel-resident, no
             # XLA hook/pointer-jump rounds (2.2x over the hybrid schedule,

@@ -147,6 +147,7 @@ class VisionSystem:
                  enable_bag_recording: bool = False,
                  enable_viewer: bool = True,
                  enable_foxglove: bool = False,
+                 enable_mesh: bool = True,
                  enable_nt: bool = True,
                  camera_map: dict | None = None,
                  calibration_dir: str | None = None,
@@ -221,6 +222,28 @@ class VisionSystem:
                       estimate_pose=True)
         det_kw.update(detector_overrides or {})
         self.detector = TPUDetector(DetectorConfig(**det_kw))
+
+        # multi-chip: shard the camera batch over a device mesh when more
+        # than one accelerator is attached (the TPU-era replacement for the
+        # reference's one-process-pair-per-camera scale-out,
+        # launch_vision.py:231-308). The mesh axis is the largest divisor
+        # of the camera count that fits the device count, so every
+        # with_sharding_constraint stays shape-valid.
+        self.mesh = None
+        if enable_mesh:
+            import jax as _jax
+            n_dev = len(_jax.devices())
+            n_cam = len(idents)
+            if n_dev > 1 and n_cam > 1:
+                axis = max(d for d in range(1, min(n_dev, n_cam) + 1)
+                           if n_cam % d == 0)
+                if axis > 1:
+                    from ros_vision_tpu.parallel.mesh import (
+                        make_camera_mesh, shard_detector)
+                    self.mesh = make_camera_mesh(n_cameras=axis)
+                    self.detector._fn = shard_detector(self.detector,
+                                                       self.mesh)
+                    log.info("camera batch sharded over %d devices", axis)
         # per-camera intrinsics rows (default-config rows where a camera has
         # no calibration artifact)
         intr_rows = self.detector.default_intrinsics(len(idents))

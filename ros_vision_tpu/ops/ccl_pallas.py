@@ -172,13 +172,15 @@ def _ladder_sweep(mask_bits, lab, strides):
     return m
 
 
-def _make_fix_kernel(strides):
+def _make_fix_kernel(strides, chunk):
     def _fix_kernel(mask_ref, val_in_ref, val_out_ref):
         mask_bits = mask_ref[0]
 
         def step(state):
             lab, _, it = state
-            new = _ladder_sweep(mask_bits, lab, strides)
+            new = lab
+            for _ in range(chunk):
+                new = _ladder_sweep(mask_bits, new, strides)
             return new, jnp.any(new != lab), it + 1
 
         lab, _, _ = jax.lax.while_loop(
@@ -188,10 +190,11 @@ def _make_fix_kernel(strides):
     return _fix_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
+@functools.partial(jax.jit, static_argnames=("strides", "chunk",
+                                             "interpret"))
 def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
                        masks: jnp.ndarray | None = None,
-                       strides: tuple = _STRIDES,
+                       strides: tuple = _STRIDES, chunk: int = 1,
                        interpret: bool = False) -> jnp.ndarray:
     """Min-flood `values` (B, H, W) int32 over the same-value connectivity
     of `threshim` to FIXPOINT (in-kernel convergence loop). With values =
@@ -206,7 +209,7 @@ def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fix_kernel(strides),
+        _make_fix_kernel(strides, chunk),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),

@@ -68,6 +68,12 @@ def test_vision_system_end_to_end(config_file, tmp_path):
         detector_overrides=dict(max_points=4096, max_segments=64,
                                 max_quads=8, fx=300.0, fy=300.0,
                                 cx=160.0, cy=80.0))
+    # with the virtual 8-device CPU mesh and 2 cameras, the launch path
+    # must shard the camera batch (load-bearing mesh, not just a demo)
+    import jax
+    if len(jax.devices()) > 1:
+        assert system.mesh is not None
+        assert system.mesh.shape["cameras"] == 2
     system.start()
     try:
         # let the capture threads prime the rings (generous: suite load and
