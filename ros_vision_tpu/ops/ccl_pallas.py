@@ -97,7 +97,9 @@ def _kernel(sweeps_ref, thresh_ref, lab_in_ref, lab_out_ref):
 # The mask build itself is pure elementwise rolls, so it runs XLA-side
 # (fused, HBM-bandwidth cheap) and the kernel receives the finished bitmask
 # — keeping the kernel body small enough for Mosaic's scoped-VMEM stack.
-_STRIDES = (4, 16, 64)    # per-sweep reach = sum + 1 = 85 px along runs
+_STRIDES = (4, 32)        # fastest of the measured ladders on v5e (39.1 ms
+# at B=4 vs 41.8 for (2,4,8,16,32) and 41.7 for (4,16,64)): more strides
+# buy reach but pay per-sweep ops, and snake-heavy scenes are turn-bound
 _MAX_SWEEPS = 16384       # safety bound (never reached in practice)
 
 
@@ -205,6 +207,9 @@ def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
     one mask build across several floods of the same threshim."""
     b, h, w = threshim.shape
     if masks is None:
+        # XLA-side build: an in-VMEM Pallas formulation measured SLOWER
+        # (10.4 vs 7.5 ms marginal at (4,400,640) — Mosaic lane rolls are
+        # costly) and overflows scoped VMEM at 540x960
         masks = build_ladder_masks(threshim, strides)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)

@@ -176,18 +176,22 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
                                KEY_INVALID))
     keyimg = jnp.stack(keych, axis=-1).reshape(b, n, 4)
 
-    # strided row interleave for overflow fairness (see row_interleave)
+    # strided row interleave for overflow fairness (see row_interleave),
+    # expressed as the compaction's order key — no physical relayout of
+    # the (B, N) planes (the swapaxes reshape costs ~2 strided full-image
+    # copies; the order key is free elementwise work inside the sort)
     ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
               if h % r == 0)
     pixidx = (ys[:, None] * w + xs[None, :]) + jnp.zeros_like(v)
-    mask_f = maskbits.reshape(b, h // ri, ri, w).swapaxes(1, 2).reshape(b, n)
-    pix_f = pixidx.reshape(b, h // ri, ri, w).swapaxes(1, 2).reshape(b, n)
+    iorder = ((ys[:, None] % ri) * ((h // ri) * w)
+              + (ys[:, None] // ri) * w + xs[None, :]) + jnp.zeros_like(v)
 
     # ---- stage A: compact pixels that emit any point --------------------
     p_cap = cfg.max_boundary_pixels
-    pxa, _ = segs.compact((mask_f & 0xF) != 0,
-                          {"pm": (pix_f << 8) | mask_f}, p_cap,
-                          {"pm": jnp.int32(0)})
+    pxa, _ = segs.compact((maskbits & 0xF).reshape(b, n) != 0,
+                          {"pm": ((pixidx << 8) | maskbits).reshape(b, n)},
+                          p_cap, {"pm": jnp.int32(0)},
+                          order=iorder.reshape(b, n))
     pm = pxa["pm"]                                       # (B, P)
     pix = pm >> 8
 

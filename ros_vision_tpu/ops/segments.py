@@ -13,13 +13,19 @@ import jax
 import jax.numpy as jnp
 
 
-def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
+def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict,
+            order: jnp.ndarray | None = None):
     """Masked stream compaction: keep the first K valid elements.
 
     valid: (B, M) bool; payload: dict of (B, M) arrays; fill: per-key fill
     value for unused slots. Returns (dict of (B, K) arrays, counts (B,)).
     Equivalent role to cub::DeviceSelect::If (apriltag_gpu.cu:788-802), with
     a hard cap instead of a device-side count.
+
+    order: optional (B, M) int32 < 2^30 priority — "first" then means
+    smallest order value instead of array position, letting callers express
+    a permuted visit order (e.g. the boundary stage's row interleave)
+    without physically relayouting the inputs.
     """
     b, m = valid.shape
     counts = jnp.minimum(valid.sum(axis=1), k)
@@ -28,7 +34,11 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict):
     # the cumsum+scatter formulation (scatters lower near-scalar; measured
     # 1.3 vs 2.5 ms/op at (4, 131072) on v5e).
     keys = list(payload)
-    ops = [(~valid).astype(jnp.int32)] + [payload[kk] for kk in keys]
+    if order is None:
+        key = (~valid).astype(jnp.int32)
+    else:
+        key = jnp.where(valid, order, order | (1 << 30))
+    ops = [key] + [payload[kk] for kk in keys]
     sorted_ = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
     slot_ok = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
     out = {}
