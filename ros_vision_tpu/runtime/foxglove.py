@@ -144,11 +144,17 @@ class FoxgloveBridge:
                 with self._lock:
                     self._clients.pop(ws, None)
 
+    def _has_subscribers(self, cid: int) -> bool:
+        with self._lock:
+            return any(cid in subs for subs in self._clients.values())
+
     def publish_image(self, topic: str, image: np.ndarray,
                       frame_id: str = "camera",
                       timestamp_ns: Optional[int] = None) -> None:
         """JPEG-encode and publish as foxglove.CompressedImage."""
         cid = self.add_channel(topic, "foxglove.CompressedImage")
+        if not self._has_subscribers(cid):
+            return                      # don't pay the JPEG encode for nobody
         import cv2
         ok, jpg = cv2.imencode(".jpg", image,
                                [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality])

@@ -326,7 +326,7 @@ class Rosbag2Writer:
         cur.execute("CREATE TABLE IF NOT EXISTS schema("
                     "schema_version INTEGER PRIMARY KEY, "
                     "ros_distro TEXT NOT NULL)")
-        cur.execute("INSERT INTO schema VALUES (3, 'rosvision')")
+        cur.execute("INSERT OR IGNORE INTO schema VALUES (3, 'rosvision')")
         cur.execute("CREATE TABLE IF NOT EXISTS topics("
                     "id INTEGER PRIMARY KEY, name TEXT NOT NULL, "
                     "type TEXT NOT NULL, serialization_format TEXT NOT NULL, "
