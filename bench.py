@@ -85,16 +85,21 @@ def main():
             best = (batch, fps, dt)
 
     batch, fps, dt = best
-    print(json.dumps({
+    out = {
         "metric": "apriltag_1280x800_36h11_detect_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / CAMERA_TARGET_FPS, 3),
         "tags_ok": tags_ok,
         "best_batch": batch,
-        "p50_latency_ms": round(dt * 1e3, 2),
+        "best_batch_call_ms": round(dt * 1e3, 2),
         "sweep": points,
-    }))
+    }
+    # the latency operating point is B=1 (one camera frame end to end);
+    # best-batch call time is a throughput figure, not per-frame latency
+    if 1 in points:
+        out["p50_latency_ms"] = points[1]["latency_ms"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
