@@ -227,16 +227,19 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
     # measured a wash on v5e at 400x640 (43 -> 46 ms at B=4: the coarse
     # kernel + up/down sampling offset the sweep savings) — kept for
     # bigger frames where the fixpoint sweep count grows with diameter.
-    """Fully kernel-resident CCL: ONE stride-ladder flood to fixpoint labels
-    the components, then sizes/ranks are broadcast back by a SECOND cheap
-    flood of per-root packed data instead of 1M-index gathers.
+    """Fully kernel-resident CCL: ONE stride-ladder flood to fixpoint
+    labels the components; sizes come from a one-hot MXU histogram over the
+    label space (labels ARE flat pixel indices, so the per-root table maps
+    back by pure indexing) and sizes/ranks reach every pixel with a single
+    packed gather (broadcast='flood' re-floods instead — measured equal).
 
-    Cost model (measured on v5e): VMEM sweeps are ~9 us while XLA
-    gathers/scatters over (B, H*W) cost ~8 ms/frame — so the only XLA-side
-    data-dependent op left is the single histogram scatter-add for component
-    sizes. Replaces label_components_hybrid's outer hook/pointer-jump loop
+    Cost model (measured on v5e at (4, 400, 640)): the in-kernel sweep is
+    ~10 us and the noisy-scene fixpoint takes ~287 sweeps; the mask build,
+    histogram and packed gather are ~2 ms/frame of XLA work around it.
+    Replaces label_components_hybrid's outer hook/pointer-jump rounds
     (same outputs/semantics, same BKE-equivalent role as the reference's
-    labeling_allegretti_2019_BKE.cu:466-492)."""
+    labeling_allegretti_2019_BKE.cu:466-492); default TPU CCL in the
+    detector."""
     from ros_vision_tpu.ops import ccl_pallas
     from ros_vision_tpu.ops.scan import cumsum_mxu
 
