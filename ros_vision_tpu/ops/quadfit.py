@@ -233,8 +233,12 @@ def _sort_by(keys, payloads, num_keys):
     return out[:len(keys)], out[len(keys):]
 
 
-def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
+def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
+                    _debug_stop: str | None = None):
     """From compacted boundary points to quad corners.
+
+    _debug_stop: perf-instrumentation cut point ('tables', 'theta',
+    'errs', 'peaks') — returns a partial dict early; None = full run.
 
     Returns dict with corners (B, NQ, 4, 2) in decimated pixel coords,
     quad_valid (B, NQ), n_quads (B,), plus stage taps.
@@ -309,6 +313,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     seg_ok = ((count >= MIN_CLUSTER_POINTS) & (count <= max_perimeter)
               & bbox_ok & border_ok)
     seg_ok = seg_ok.at[:, nseg].set(False)
+    if _debug_stop == "tables":
+        return {"seg_ok": seg_ok, "count": count}
 
     # ---- theta sort within segments (AddThetaToIndexPoint + radix sort,
     #      apriltag_gpu.cu:396-412, 944-956). One packed int32 key:
@@ -339,6 +345,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     start = pbc[..., 0].astype(jnp.int32)
     sz_pt = pbc[..., 1].astype(jnp.int32)
     pos = i_global - start
+    if _debug_stop == "theta":
+        return {"seg_ok": seg_ok, "count": count, "pos": pos}
 
     # ---- line-fit moments, segmented prefix sums ------------------------
     # decimated-pixel coords with apriltag's +0.5 center convention
@@ -398,6 +406,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
     mwin, nwin = window_moments(pos - ksz, pos + ksz)
     errs = fit_line_f32(mwin, nwin)["err"]
     errs = jnp.where(fit_ok_pt, errs, 0.0)
+    if _debug_stop == "errs":
+        return {"seg_ok": seg_ok, "count": count, "errs": errs}
 
     # 7-tap circular gaussian smoothing (FilterCoefficients,
     # line_fit_filter.h:122-128) + peak detection. Within a segment the
@@ -507,6 +517,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig):
         < nmax[..., None], maxima, 0)
 
     seg_quad_ok = seg_ok & (nmax >= 4)
+    if _debug_stop == "peaks":
+        return {"seg_ok": seg_quad_ok, "count": count, "maxima": maxima}
 
     # ---- 45 pair fits + 210 combos (DoFitQuads,
     #      line_fit_filter.cu:1088-1212) ----------------------------------
