@@ -33,6 +33,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", "--seeds", type=int, default=126)
     ap.add_argument("-s", "--start", type=int, default=0)
+    ap.add_argument("--profile", choices=["parity", "hard"],
+                    default="parity",
+                    help="parity: randomized scenes vs the f64 oracle; "
+                         "hard: lens distortion + shallow tilts vs ground "
+                         "truth (the regimes where f32 pose/refine math "
+                         "is most stressed)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +51,8 @@ def main() -> int:
     W, H = 320, 160
     FX = FY = 300.0
     CX, CY = 160.0, 80.0
+    if args.profile == "hard":
+        return run_hard(args, W, H, FX, FY, CX, CY)
     det = TPUDetector(DetectorConfig(
         width=W, height=H, max_points=16384, max_segments=128, max_quads=16,
         fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True))
@@ -95,6 +103,88 @@ def main() -> int:
 
     print(f"\n{args.seeds} seeds, {len(failures)} failures, "
           f"{time.time() - t0:.0f}s")
+    return 1 if failures else 0
+
+
+def run_hard(args, W, H, FX, FY, CX, CY) -> int:
+    """Distortion + shallow-tilt ground-truth recovery (the regimes of
+    tests/test_fuzz_parity.py::test_distorted_end_to_end and
+    test_shallow_angle_pose_ambiguity, randomized). A case counts as a
+    failure if the tag decodes but the pose is off; extreme-foreshortening
+    non-detections are counted separately (recall, not correctness)."""
+    import jax
+    from scipy.spatial.transform import Rotation
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.apriltag.render import (project_tag_corners,
+                                                render_scene)
+
+    tag = 0.1651
+    # fixed distortion palette: the detector jit-specializes on the static
+    # dist config, so continuous random distortion would recompile per seed
+    dist_palette = [np.zeros(5),
+                    np.array([-0.25, 0.08, 0.0, 0.0, 0.0]),
+                    np.array([-0.12, 0.03, 0.0, 0.0, 0.0]),
+                    np.array([0.08, -0.02, 0.0, 0.0, 0.0])]
+    failures, missed = [], 0
+    t0 = time.time()
+    det_cache = {}
+    for seed in range(args.start, args.start + args.seeds):
+        rng = np.random.default_rng(10_000 + seed)
+        dist = dist_palette[int(rng.integers(0, len(dist_palette)))]
+        use_dist = bool(np.any(dist))
+        tilt = rng.uniform(0, 65)
+        yaw = rng.uniform(-30, 30)
+        roll = rng.uniform(-180, 180)
+        rot = Rotation.from_euler(
+            "xyz", [tilt, yaw, roll], degrees=True).as_matrix()
+        t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.05, 0.05),
+                      rng.uniform(0.6, 1.4)])
+        corners = project_tag_corners(rot, t, tag, FX, FY, CX, CY,
+                                      dist=dist if use_dist else None)
+        if (corners < 8).any() or (corners[:, 0] > W - 8).any() \
+                or (corners[:, 1] > H - 8).any():
+            continue                      # partially out of frame: skip
+        tag_id = int(rng.integers(0, 587))
+        img, _ = render_scene([tag_id], [corners], W, H,
+                              noise_sigma=rng.uniform(0, 2),
+                              seed=int(rng.integers(1 << 30)))
+        key = tuple(np.round(dist, 6))
+        if key not in det_cache:
+            det_cache[key] = TPUDetector(DetectorConfig(
+                width=W, height=H, max_points=16384, max_segments=128,
+                max_quads=16, fx=FX, fy=FY, cx=CX, cy=CY,
+                dist=tuple(dist), estimate_pose=True)) \
+                if use_dist else TPUDetector(DetectorConfig(
+                    width=W, height=H, max_points=16384, max_segments=128,
+                    max_quads=16, fx=FX, fy=FY, cx=CX, cy=CY,
+                    estimate_pose=True))
+        res = det_cache[key].detect(img)
+        if not res:
+            missed += 1
+            continue
+        errs = []
+        d = res[0]
+        if d.tag_id != tag_id:
+            errs.append(f"id {d.tag_id} != {tag_id}")
+        elif d.pose_t is not None:
+            dp = float(np.linalg.norm(np.asarray(d.pose_t) - t))
+            tol = 0.06 if use_dist else 0.02
+            if dp >= tol:
+                errs.append(f"pose err {dp:.4f} (tilt {tilt:.0f}, "
+                            f"dist={use_dist})")
+            dotz = float(np.asarray(d.pose_R)[:, 2] @ rot[:, 2])
+            if tilt < 55 and dotz < 0.9:
+                errs.append(f"normal flipped (dot {dotz:.2f}, "
+                            f"tilt {tilt:.0f})")
+        if errs:
+            failures.append((seed, errs))
+            print(f"seed {seed}: MISMATCH {errs}", flush=True)
+        done = seed - args.start + 1
+        if done % 20 == 0:
+            print(f"[{done}/{args.seeds}] {len(failures)} failures, "
+                  f"{missed} missed ({time.time() - t0:.0f}s)", flush=True)
+    print(f"\nhard profile: {args.seeds} seeds, {len(failures)} failures, "
+          f"{missed} non-detections, {time.time() - t0:.0f}s")
     return 1 if failures else 0
 
 
