@@ -211,14 +211,20 @@ def image_to_array(msg: dict) -> Optional[np.ndarray]:
 
 
 def decode_message(msgtype: str, raw: bytes) -> Optional[np.ndarray]:
-    """Any supported image message -> numpy image (None if undecodable)."""
+    """Any supported image message -> numpy image. Returns None for
+    unsupported types AND for malformed/truncated messages (the reference
+    extractor counts per-message errors and keeps going,
+    extract_images.py:243-245 — one bad record must not kill a replay)."""
     import cv2
-    if "CompressedImage" in msgtype:
-        msg = parse_compressed_image(raw)
-        return cv2.imdecode(np.frombuffer(msg["data"], np.uint8),
-                            cv2.IMREAD_COLOR)
-    if "Image" in msgtype:
-        return image_to_array(parse_image(raw))
+    try:
+        if "CompressedImage" in msgtype:
+            msg = parse_compressed_image(raw)
+            return cv2.imdecode(np.frombuffer(msg["data"], np.uint8),
+                                cv2.IMREAD_COLOR)
+        if "Image" in msgtype:
+            return image_to_array(parse_image(raw))
+    except (ValueError, struct.error, IndexError):
+        return None
     return None
 
 

@@ -144,3 +144,24 @@ def test_replay_ros2_bag_through_detector(tmp_path):
     rows = [json.loads(line) for line in open(out)]
     assert len(rows) == 1
     assert [d["id"] for d in rows[0]["detections"]] == [42]
+
+
+def test_malformed_message_survives(tmp_path):
+    """One corrupt record must not kill extraction/replay (the reference
+    counts per-message errors and continues, extract_images.py:243-245)."""
+    bag = str(tmp_path / "corrupt")
+    good = np.full((8, 8), 7, np.uint8)
+    with rb.Rosbag2Writer(bag) as w:
+        w.write_image("/c/image_raw", good, 1)
+        w.add_topic("/c/image_raw", rb.IMAGE_TYPE)
+        w.write("/c/image_raw", 2, b"\x00\x01\x00\x00\x01\x02")  # truncated
+        w.write_image("/c/image_raw", good, 3)
+    r = rb.Rosbag2Reader(bag)
+    frames = list(r.read_images("/c/image_raw"))
+    assert len(frames) == 3
+    assert frames[1][1] is None
+    assert np.array_equal(frames[0][1], good)
+    assert np.array_equal(frames[2][1], good)
+    stats = rb.extract_images(bag, str(tmp_path / "out"))
+    assert stats["/c/image_raw"] == {"extracted": 2, "skipped": 0,
+                                     "errors": 1}
