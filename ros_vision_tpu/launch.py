@@ -168,6 +168,17 @@ class VisionSystem:
 
         idents = sorted(cfgs)
         first = cfgs[idents[0]][1]
+        # the batched pipeline requires one frame geometry across cameras
+        # (the camera axis is a dense batch dim); mixed-resolution rigs
+        # must run one VisionSystem per geometry (the reference's
+        # per-camera processes hide this; we fail fast instead of
+        # silently corrupting the shared frame ring)
+        mixed = {(cfgs[i][1].width, cfgs[i][1].height) for i in idents}
+        if len(mixed) > 1:
+            raise RuntimeError(
+                f"cameras have mixed resolutions {sorted(mixed)}; run one "
+                "VisionSystem per resolution group (camera_map lets you "
+                "split the set)")
         self.pipe = FramePipe(len(idents), first.height, first.width)
 
         perf = ConfigLoader.get_performance_config()

@@ -279,3 +279,32 @@ def test_model_checkpoint_roundtrip(tmp_path):
     m3.load_checkpoint(ck)
     leaf3 = jax.tree_util.tree_leaves(m3.variables)[0]
     assert np.array_equal(np.asarray(leaf0), np.asarray(leaf3))
+
+
+def test_mixed_resolution_fail_fast(tmp_path):
+    """Heterogeneous camera geometries must be rejected with a clear error
+    (the batch axis requires one frame shape; silent ring corruption is the
+    alternative)."""
+    import json
+    import pytest
+    from ros_vision_tpu.config.loader import ConfigLoader
+    from ros_vision_tpu.launch import VisionSystem
+    cfg = {
+        "camera_mounted_positions": {
+            "a": {"location": "left", "format": "MJPG", "height": 160,
+                  "width": 320, "frame_rate": 30, "api_preference": "ANY"},
+            "b": {"location": "right", "format": "MJPG", "height": 200,
+                  "width": 400, "frame_rate": 30, "api_preference": "ANY"},
+        },
+        "extrinsics": {},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    ConfigLoader.set_config_file_path(str(p))
+    try:
+        with pytest.raises(RuntimeError, match="mixed resolutions"):
+            VisionSystem(enable_viewer=False, enable_nt=False,
+                         camera_map={"a": 0, "b": 1})
+    finally:
+        ConfigLoader.set_config_file_path(None)
+        ConfigLoader.reload_config()
