@@ -165,3 +165,19 @@ def test_malformed_message_survives(tmp_path):
     stats = rb.extract_images(bag, str(tmp_path / "out"))
     assert stats["/c/image_raw"] == {"extracted": 2, "skipped": 0,
                                      "errors": 1}
+
+
+def test_extract_images_cli(tmp_path):
+    """The extract_images console tool (bag_utils extract_images parity)."""
+    from ros_vision_tpu.tools import extract_images as cli
+    bag = str(tmp_path / "clibag")
+    with rb.Rosbag2Writer(bag) as w:
+        for i in range(4):
+            w.write_image("/cam/image_raw",
+                          np.full((8, 8), i, np.uint8),
+                          (i + 1) * 1_000_000_000)
+    out = str(tmp_path / "out")
+    rc = cli.main([bag, "-o", out, "-s", "2", "-t", "cam"])
+    assert rc == 0
+    assert len(glob.glob(os.path.join(out, "cam_image_raw", "*.png"))) == 2
+    assert cli.main([str(tmp_path / "nope"), "-o", out]) == 1
