@@ -54,6 +54,7 @@ class BagRecordingConfig:
     topics: list = dataclasses.field(default_factory=list)
     auto_split: bool = True
     max_duration: int = 300
+    format: str = "rec"          # "rec" (framework) | "ros2" (rosbag2)
 
 
 @dataclasses.dataclass
@@ -168,7 +169,8 @@ class ConfigLoader:
             max_bag_size=b.get("max_bag_size", "1000000000"),
             topics=b.get("topics", []),
             auto_split=b.get("auto_split", True),
-            max_duration=b.get("max_duration", 300))
+            max_duration=b.get("max_duration", 300),
+            format=b.get("format", "rec"))
 
     @classmethod
     def get_performance_config(cls) -> PerformanceConfig:

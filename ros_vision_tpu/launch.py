@@ -137,6 +137,24 @@ def get_config_data(cameras: dict) -> dict:
     return out
 
 
+class _Ros2BagRecorder:
+    """BagWriter-shaped adapter over runtime/rosbag2.Rosbag2Writer so the
+    spin loop records real rosbag2 output (bag_recording.format = 'ros2',
+    the reference's `ros2 bag record` equivalent)."""
+
+    def __init__(self, directory: str):
+        from ros_vision_tpu.runtime.rosbag2 import Rosbag2Writer
+        self._w = Rosbag2Writer(directory)
+
+    def write_image(self, topic: str, image, t: float | None = None) -> bool:
+        ts = int((t if t is not None else time.time()) * 1e9)
+        self._w.write_compressed("/" + topic.strip("/"), image, ts)
+        return True
+
+    def close(self) -> None:
+        self._w.close()
+
+
 class VisionSystem:
     """The running system: capture threads + frame pipe + vision node +
     outputs. The single-process equivalent of launch_vision.py's node
@@ -323,12 +341,17 @@ class VisionSystem:
 
         self.bag = None
         if enable_bag_recording:
-            from ros_vision_tpu.runtime.bags import BagWriter
             bcfg = ConfigLoader.get_bag_recording_config()
             out = os.path.join(bcfg.output_directory,
                                time.strftime("bag_%Y%m%d_%H%M%S"))
-            self.bag = BagWriter(out, max_bytes=int(bcfg.max_bag_size),
-                                 max_duration_s=bcfg.max_duration)
+            if bcfg.format == "ros2":
+                # real rosbag2 output: the recording is readable by stock
+                # ROS2 tooling (and by runtime/rosbag2.py)
+                self.bag = _Ros2BagRecorder(out)
+            else:
+                from ros_vision_tpu.runtime.bags import BagWriter
+                self.bag = BagWriter(out, max_bytes=int(bcfg.max_bag_size),
+                                     max_duration_s=bcfg.max_duration)
 
         self.node = VisionNode(self.detector, channels,
                                tag_sender=tag_sender,

@@ -181,3 +181,36 @@ def test_extract_images_cli(tmp_path):
     assert rc == 0
     assert len(glob.glob(os.path.join(out, "cam_image_raw", "*.png"))) == 2
     assert cli.main([str(tmp_path / "nope"), "-o", out]) == 1
+
+
+def test_ros2_bag_recorder_adapter(tmp_path):
+    """VisionSystem's bag_recording.format='ros2' path: the BagWriter-shaped
+    adapter produces a real rosbag2 directory."""
+    from ros_vision_tpu.launch import _Ros2BagRecorder
+    d = str(tmp_path / "recbag")
+    rec = _Ros2BagRecorder(d)
+    img = np.full((16, 16), 90, np.uint8)
+    assert rec.write_image("cameras/center/image_raw/compressed", img,
+                           t=1.5)
+    rec.close()
+    r = rb.Rosbag2Reader(d)
+    assert r.image_topics() == ["/cameras/center/image_raw/compressed"]
+    (ts, dec), = r.read_images("/cameras/center/image_raw/compressed")
+    assert ts == 1_500_000_000
+    assert abs(int(dec.mean()) - 90) < 3
+
+
+def test_bag_format_config(tmp_path):
+    import json
+    from ros_vision_tpu.config.loader import ConfigLoader
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "camera_mounted_positions": {},
+        "bag_recording": {"output_directory": str(tmp_path),
+                          "format": "ros2"}}))
+    ConfigLoader.set_config_file_path(str(p))
+    try:
+        assert ConfigLoader.get_bag_recording_config().format == "ros2"
+    finally:
+        ConfigLoader.set_config_file_path(None)
+        ConfigLoader.reload_config()
