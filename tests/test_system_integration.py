@@ -128,3 +128,68 @@ def test_mesh_sharded_detection():
     for i in range(4):
         ids = out["tag_id"][i][out["ok"][i]]
         assert ids.tolist() == [10 + i]
+
+
+def test_vision_system_foxglove_stream(config_file):
+    """End-to-end with the Foxglove bridge enabled: a Studio-protocol
+    client subscribed to a camera's annotated-image channel receives
+    MESSAGE_DATA frames while the system spins."""
+    import json as js
+    import struct
+    cv2 = pytest.importorskip("cv2")
+    websockets = pytest.importorskip("websockets")
+    from websockets.sync.client import connect
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+
+    scene0, _ = render_scene([5], [simple_square_corners(80, 60, 34)], W, H)
+
+    def factory(ident, idx):
+        bgr = cv2.cvtColor(scene0, cv2.COLOR_GRAY2BGR)
+        return MockCamera(width=W, height=H, frame_factory=lambda n: bgr)
+
+    system = VisionSystem(
+        enable_viewer=False, enable_nt=False, enable_foxglove=True,
+        camera_map={"mock0": 0, "mock1": 1}, camera_factory=factory,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0))
+    assert system.foxglove is not None
+    system.start()
+    try:
+        with connect(f"ws://127.0.0.1:{system.foxglove.port}",
+                     subprotocols=["foxglove.websocket.v1"]) as ws:
+            js.loads(ws.recv(timeout=5))                # serverInfo
+            # channels advertise lazily on first publish; spin until the
+            # image channel appears, subscribe, then expect a binary frame
+            deadline = time.time() + 60
+            chan = None
+            while time.time() < deadline and chan is None:
+                system.spin_once()
+                try:
+                    msg = js.loads(ws.recv(timeout=0.2))
+                except TimeoutError:
+                    continue
+                if msg.get("op") == "advertise":
+                    for c in msg["channels"]:
+                        if c["topic"].endswith("/annotated"):
+                            chan = c
+            assert chan is not None, "no image channel advertised"
+            ws.send(js.dumps({"op": "subscribe", "subscriptions": [
+                {"id": 3, "channelId": chan["id"]}]}))
+            data = None
+            while time.time() < deadline:
+                system.spin_once()
+                try:
+                    data = ws.recv(timeout=0.2)
+                except TimeoutError:
+                    continue
+                if isinstance(data, bytes):
+                    break
+            assert isinstance(data, bytes)
+            op, sid, _ts = struct.unpack_from("<BIQ", data)
+            assert (op, sid) == (1, 3)
+            payload = js.loads(data[13:])
+            assert payload["format"] == "jpeg"
+    finally:
+        system.stop()
