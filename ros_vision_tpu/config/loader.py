@@ -45,6 +45,7 @@ class ExtrinsicConfig:
 class NetworkTablesConfig:
     table_address: str = "10.7.66.2"
     table_name: str = "/SmartDashboard"
+    port: int = 5810             # NT4 websocket port (test servers override)
 
 
 @dataclasses.dataclass
@@ -159,7 +160,8 @@ class ConfigLoader:
         nt = cls._load().get("network_tables_config", {})
         return NetworkTablesConfig(
             table_address=nt.get("table_address", "10.7.66.2"),
-            table_name=nt.get("table_name", "/SmartDashboard"))
+            table_name=nt.get("table_name", "/SmartDashboard"),
+            port=int(nt.get("port", 5810)))
 
     @classmethod
     def get_bag_recording_config(cls) -> BagRecordingConfig:

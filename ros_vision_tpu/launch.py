@@ -282,11 +282,12 @@ class VisionSystem:
                 intr_rows[i] = [cfx, cfy, ccx, ccy, *cdist]
         self.intrinsics = intr_rows
 
-        # one NT sender per camera, keyed by location: each camera's
-        # detections get their own topic (the reference creates one
-        # AprilTagDataSender per camera keyed by serial,
-        # apriltags_cuda_detector.cu:155); a shared topic would have every
-        # camera overwriting the previous camera's detections each batch
+        # one NT sender per camera, keyed by the camera SERIAL — the exact
+        # reference topic contract (AprilTagDataSender.cpp:23: the key is
+        # camera_serial_, giving <table>/<serial> + <serial>_protobuf), so
+        # existing robot code reading those topics works unchanged. A
+        # shared topic would have every camera overwriting the previous
+        # camera's detections each batch.
         tag_sender = None
         if enable_nt:
             nt_cfg = ConfigLoader.get_network_tables_config()
@@ -294,9 +295,9 @@ class VisionSystem:
                 from ros_vision_tpu.runtime.nt4 import AprilTagDataSender
                 tag_sender = {
                     ch.location: AprilTagDataSender(
-                        f"april_tags_{ch.location}", nt_cfg.table_address,
-                        nt_cfg.table_name)
-                    for ch in channels}
+                        ident, nt_cfg.table_address, nt_cfg.table_name,
+                        port=nt_cfg.port)
+                    for ident, ch in zip(idents, channels)}
             except Exception as e:
                 log.warning("NT4 connection failed (%s); continuing", e)
 

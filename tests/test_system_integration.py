@@ -193,3 +193,59 @@ def test_vision_system_foxglove_stream(config_file):
             assert payload["format"] == "jpeg"
     finally:
         system.stop()
+
+
+def test_vision_system_nt_topics_serial_keyed(tmp_path):
+    """NT topics must be keyed by camera SERIAL under the configured table
+    (the reference contract: AprilTagDataSender.cpp:23 — <table>/<serial>
+    + <serial>_protobuf), so existing robot code reads them unchanged."""
+    cv2 = pytest.importorskip("cv2")
+    from ros_vision_tpu.config.loader import ConfigLoader
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+    from ros_vision_tpu.runtime.nt4 import NT4TestServer
+
+    srv = NT4TestServer()
+    cfg = {
+        "camera_mounted_positions": {
+            "SER123": {"location": "center_front", "format": "MJPG",
+                       "height": H, "width": W, "frame_rate": 30,
+                       "api_preference": "ANY"},
+        },
+        "extrinsics": {},
+        "network_tables_config": {"table_address": "127.0.0.1",
+                                  "table_name": "/Vision",
+                                  "port": srv.port},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    ConfigLoader.set_config_file_path(str(p))
+    scene, _ = render_scene([5], [simple_square_corners(80, 60, 34)], W, H)
+
+    def factory(ident, idx):
+        bgr = cv2.cvtColor(scene, cv2.COLOR_GRAY2BGR)
+        return MockCamera(width=W, height=H, frame_factory=lambda n: bgr)
+
+    system = VisionSystem(
+        enable_viewer=False, enable_nt=True,
+        camera_map={"SER123": 0}, camera_factory=factory,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            system.start() if not system._running else None
+            system.spin_once()
+            names = {r[0] for r in srv.received}
+            if "/Vision/SER123" in names:
+                break
+            time.sleep(0.05)
+        names = {r[0] for r in srv.received}
+        assert "/Vision/SER123" in names, names
+        assert "/Vision/SER123_protobuf" in names
+    finally:
+        system.stop()
+        ConfigLoader.set_config_file_path(None)
+        ConfigLoader.reload_config()
+        srv.close()
