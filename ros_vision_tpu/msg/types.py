@@ -45,15 +45,24 @@ class ImageMsg:
     frame_id: str = ""
 
 
-def encode_apriltag_list_proto(detections, collect_time: float) -> bytes:
-    """Serialize to the ApriltagListProto wire format (apriltag.proto)."""
+def encode_apriltag_list_proto(detections, collect_time: float,
+                               positions=None) -> bytes:
+    """Serialize to the ApriltagListProto wire format (apriltag.proto).
+
+    positions: per-detection (x, y, z) overriding each detection's
+    camera-frame pose_t — the reference fills the proto with ROBOT-frame
+    positions (apriltags_cuda_detector.cu:483-487), so callers publishing
+    to NT must pass the transformed positions."""
     from ros_vision_tpu.msg import apriltag_pb2 as pb
     m = pb.ApriltagListProto()
-    for d in detections:
+    for i, d in enumerate(detections):
         t = m.tags.add()
         t.collect_time = float(collect_time)
         t.tag_id = int(d.tag_id)
-        p = d.pose_t if d.pose_t is not None else (0.0, 0.0, 0.0)
+        if positions is not None:
+            p = positions[i]
+        else:
+            p = d.pose_t if d.pose_t is not None else (0.0, 0.0, 0.0)
         t.x = float(p[0])
         t.y = float(p[1])
         t.z = float(p[2])

@@ -127,8 +127,11 @@ class VisionNode:
                     flat += [float(stamps[i]), float(d.tag_id),
                              float(p[0]), float(p[1]), float(p[2])]
                 sender.send_value(flat)
+                # robot-frame positions in the proto, like the double array
+                # (apriltags_cuda_detector.cu:483-487)
                 sender.send_protobuf(
-                    encode_apriltag_list_proto(dets, stamps[i]))
+                    encode_apriltag_list_proto(dets, stamps[i],
+                                               positions=robot_pos))
             nt_time = time.monotonic() - t_nt0
 
             t_p0 = time.monotonic()

@@ -355,3 +355,22 @@ def test_viewer_streams_jpeg():
         ws.close()
     finally:
         srv.close()
+
+
+def test_proto_robot_frame_positions():
+    """The protobuf must carry robot-frame positions when provided (the
+    reference fills it from robot_position, not the camera pose —
+    apriltags_cuda_detector.cu:483-487)."""
+    import numpy as np
+    from ros_vision_tpu.msg import apriltag_pb2 as pb
+    from ros_vision_tpu.msg.types import encode_apriltag_list_proto
+
+    class D:
+        tag_id = 7
+        pose_t = np.array([9.0, 9.0, 9.0])      # camera frame (wrong frame)
+
+    payload = encode_apriltag_list_proto(
+        [D()], 2.0, positions=[np.array([1.0, 2.0, 3.0])])
+    m = pb.ApriltagListProto()
+    m.ParseFromString(payload)
+    assert (m.tags[0].x, m.tags[0].y, m.tags[0].z) == (1.0, 2.0, 3.0)

@@ -238,7 +238,8 @@ def test_vision_system_nt_topics_serial_keyed(tmp_path):
             system.start() if not system._running else None
             system.spin_once()
             names = {r[0] for r in srv.received}
-            if "/Vision/SER123" in names:
+            if "/Vision/SER123" in names and \
+                    "/Vision/SER123_protobuf" in names:
                 break
             time.sleep(0.05)
         names = {r[0] for r in srv.received}
