@@ -109,9 +109,14 @@ class VisionNode:
                         ch, d.pose_t))
                 else:
                     robot_pos.append(np.zeros(3))
-            # closest-first ordering (detection_sorting_test.cu behavior)
-            order = np.argsort([np.linalg.norm(p) for p in robot_pos]) \
-                if robot_pos else []
+            # closest-first ordering by CAMERA-frame distance — the
+            # reference computes the sort key from the camera-frame pose,
+            # not the robot frame (apriltags_cuda_detector.cu:443-447),
+            # which differs whenever the extrinsic offset is nonzero
+            order = np.argsort(
+                [np.linalg.norm(np.asarray(d.pose_t))
+                 if d.pose_t is not None else np.inf for d in dets]) \
+                if dets else []
             dets = [dets[j] for j in order]
             robot_pos = [robot_pos[j] for j in order]
 

@@ -374,3 +374,37 @@ def test_proto_robot_frame_positions():
     m = pb.ApriltagListProto()
     m.ParseFromString(payload)
     assert (m.tags[0].x, m.tags[0].y, m.tags[0].z) == (1.0, 2.0, 3.0)
+
+
+def test_closest_first_uses_camera_frame_distance():
+    """Sort key = camera-frame distance (apriltags_cuda_detector.cu:443-447):
+    with a large extrinsic offset, robot-frame norms would give the
+    opposite order."""
+    import numpy as np
+    from ros_vision_tpu.runtime.vision_node import CameraChannel, VisionNode
+
+    class D:
+        def __init__(self, tid, z):
+            self.tag_id = tid
+            self.pose_t = np.array([0.0, 0.0, z])
+            self.pose_R = np.eye(3)
+            self.hamming = 0
+            self.decision_margin = 50.0
+            self.corners = np.zeros((4, 2))
+            self.center = np.zeros(2)
+
+    class Det:
+        def detect(self, frames, intrinsics=None):
+            # tag 1 is NEAR in camera frame; the -3 m x offset makes it FAR
+            # in robot frame (rotation maps camera z -> robot x)
+            return [[D(2, 2.0), D(1, 0.5)]]
+
+    ch = CameraChannel(location="c",
+                       extrinsic_rotation=np.array([[0., 0., 1.],
+                                                    [-1., 0., 0.],
+                                                    [0., -1., 0.]]),
+                       extrinsic_offset=np.array([-3.0, 0.0, 0.0]))
+    node = VisionNode(Det(), [ch])
+    (dets, robot), = node.process_batch(np.zeros((1, 16, 16), np.uint8),
+                                        [0.0])
+    assert [d.tag_id for d in dets] == [1, 2]
