@@ -61,3 +61,67 @@ def test_stage_timer(det):
     assert all(v > 0 for v in times.values())
     report = timer.report()
     assert "total" in report and "quadfit" in report
+
+
+def test_nms_randomized_vs_numpy_oracle():
+    """Randomized cross-check of the device NMS against an independent
+    NumPy greedy implementation (per-class, IoU 0.45, confidence order —
+    yolo_detection.h:74-182 semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ros_vision_tpu.ops import nms
+
+    def np_nms(boxes, scores, classes, conf=0.25, iou_t=0.45):
+        keep = []
+        order = np.argsort(-scores, kind="stable")
+        order = [i for i in order if scores[i] >= conf]
+        while order:
+            i = order.pop(0)
+            keep.append(i)
+            rest = []
+            for j in order:
+                if classes[j] != classes[i]:
+                    rest.append(j)
+                    continue
+                xx1 = max(boxes[i, 0] - boxes[i, 2] / 2,
+                          boxes[j, 0] - boxes[j, 2] / 2)
+                yy1 = max(boxes[i, 1] - boxes[i, 3] / 2,
+                          boxes[j, 1] - boxes[j, 3] / 2)
+                xx2 = min(boxes[i, 0] + boxes[i, 2] / 2,
+                          boxes[j, 0] + boxes[j, 2] / 2)
+                yy2 = min(boxes[i, 1] + boxes[i, 3] / 2,
+                          boxes[j, 1] + boxes[j, 3] / 2)
+                inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+                a1 = boxes[i, 2] * boxes[i, 3]
+                a2 = boxes[j, 2] * boxes[j, 3]
+                if inter / max(a1 + a2 - inter, 1e-9) <= iou_t:
+                    rest.append(j)
+            order = rest
+        return keep
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n, nc = 40, 3
+        boxes = np.stack([rng.uniform(50, 590, n), rng.uniform(50, 590, n),
+                          rng.uniform(20, 120, n),
+                          rng.uniform(20, 120, n)], -1).astype(np.float32)
+        # cluster some boxes to force suppressions
+        boxes[n // 2:] = boxes[:n - n // 2] + rng.normal(0, 6, (n // 2, 4))
+        cls_scores = rng.uniform(0, 0.9, (nc, n)).astype(np.float32)
+        raw = np.concatenate([boxes.T, cls_scores], 0)[None]   # (1, 4+nc, n)
+
+        out = nms.parse_and_nms(jnp.asarray(raw), max_detections=n)
+        got = [(int(c), np.asarray(b))
+               for b, c, v in zip(np.asarray(out["boxes"][0]),
+                                  np.asarray(out["classes"][0]),
+                                  np.asarray(out["valid"][0])) if v]
+
+        scores = cls_scores.max(0)
+        classes = cls_scores.argmax(0)
+        keep = np_nms(boxes, scores, classes)
+        want = [(int(classes[i]), boxes[i]) for i in
+                sorted(keep, key=lambda i: -scores[i])]
+        assert len(got) == len(want), (trial, len(got), len(want))
+        for (gc, gb), (wc, wb) in zip(got, want):
+            assert gc == wc
+            assert np.abs(gb - wb).max() < 1e-3
