@@ -137,10 +137,11 @@ class TPUDetector:
             # fits the 16MB scoped limit. Connectivity masks are built
             # XLA-side, so the kernel holds only ~3 full-frame planes —
             # verified compiling + running at 540x960 (1080p decimated,
-            # 518k px); the gate covers that with a small margin.
+            # 518k px). Bound is 2^19 so the flood path's 19-bit packed
+            # component sizes stay exact (ops/ccl.py packing invariant).
             use_pallas_ccl = (jax.default_backend() in ("tpu", "axon")
                               and (cfg.width // 2) * (cfg.height // 2)
-                              <= 540_000)
+                              < (1 << 19))
         if use_pallas_ccl:
             # stride-ladder flood to fixpoint: fully kernel-resident, no
             # XLA hook/pointer-jump rounds (2.2x over the hybrid schedule,

@@ -140,13 +140,45 @@ def get_config_data(cameras: dict) -> dict:
 class _Ros2BagRecorder:
     """BagWriter-shaped adapter over runtime/rosbag2.Rosbag2Writer so the
     spin loop records real rosbag2 output (bag_recording.format = 'ros2',
-    the reference's `ros2 bag record` equivalent)."""
+    the reference's `ros2 bag record` equivalent). Honors the
+    bag_recording caps: when max_bytes/max_duration_s is exceeded it
+    rotates to a new <name>_N.db3 segment (auto_split=True, `ros2 bag
+    record --max-bag-size/--max-bag-duration` behavior) or stops recording
+    (auto_split=False)."""
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, max_bytes: int | None = None,
+                 max_duration_s: float | None = None,
+                 auto_split: bool = True):
         from ros_vision_tpu.runtime.rosbag2 import Rosbag2Writer
+        self._dir = directory
+        self._factory = Rosbag2Writer
+        self._max_bytes = max_bytes
+        self._max_duration_s = max_duration_s
+        self._auto_split = auto_split
+        self._segment = 0
+        self._t0 = time.time()
+        self._stopped = False
         self._w = Rosbag2Writer(directory)
 
+    def _over_limit(self) -> bool:
+        return ((self._max_bytes is not None
+                 and self._w.bytes_written >= self._max_bytes)
+                or (self._max_duration_s is not None
+                    and time.time() - self._t0 >= self._max_duration_s))
+
     def write_image(self, topic: str, image, t: float | None = None) -> bool:
+        if self._stopped:
+            return False
+        if self._over_limit():
+            if not self._auto_split:
+                self._stopped = True
+                log.warning("bag recording limit reached; stopping "
+                            "(auto_split=false)")
+                return False
+            self._w.close()
+            self._segment += 1
+            self._t0 = time.time()
+            self._w = self._factory(self._dir, segment=self._segment)
         ts = int((t if t is not None else time.time()) * 1e9)
         self._w.write_compressed("/" + topic.strip("/"), image, ts)
         return True
@@ -348,7 +380,10 @@ class VisionSystem:
             if bcfg.format == "ros2":
                 # real rosbag2 output: the recording is readable by stock
                 # ROS2 tooling (and by runtime/rosbag2.py)
-                self.bag = _Ros2BagRecorder(out)
+                self.bag = _Ros2BagRecorder(
+                    out, max_bytes=int(bcfg.max_bag_size),
+                    max_duration_s=bcfg.max_duration,
+                    auto_split=bcfg.auto_split)
             else:
                 from ros_vision_tpu.runtime.bags import BagWriter
                 self.bag = BagWriter(out, max_bytes=int(bcfg.max_bag_size),

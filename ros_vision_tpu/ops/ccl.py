@@ -262,10 +262,13 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
     rank_v = cumsum_mxu(is_big_v.astype(jnp.float32),
                         binary=True).astype(jnp.int32)
     rank_v = jnp.where(is_big_v & (rank_v <= MAX_BLOBS), rank_v, 0)
-    # pack rank (12 bits) | size (19 bits — decimated images can't exceed
-    # 2^19 px under the w*h < 2^22 full-res cap)
+    # pack rank (12 bits) | size (19 bits). Sizes stay EXACT only while
+    # n < 2^19; the detector's flood auto-gate admits frames up to exactly
+    # this bound (detector.py), and the assert keeps direct callers honest.
+    assert n < (1 << 19), \
+        f"flood CCL size packing needs h*w < 2^19 ({n}); use label_components"
     packed_v = jnp.where(is_root_v,
-                         (rank_v << 19) | jnp.minimum(counts, (1 << 19) - 1),
+                         (rank_v << 19) | counts,
                          jnp.int32(2 ** 31 - 1))
     if broadcast == "flood":
         packed = ccl_pallas.propagate_fixpoint(

@@ -40,7 +40,8 @@ class NT4Client:
     is the PublisherQueue semantic too), a background thread re-dials with
     backoff, and on reconnect every published topic is re-announced and the
     RTT time sync re-run. Periodic RTT re-syncs keep timestamps honest across
-    clock drift."""
+    clock drift; they run on a background thread (like ntcore's) so the
+    publish hot path never blocks on a ws.recv exchange."""
 
     RECONNECT_INTERVAL = 1.0
     RESYNC_INTERVAL = 3.0
@@ -64,7 +65,7 @@ class NT4Client:
         self._lock = threading.RLock()
         self._t0 = time.monotonic_ns()
         self._server_offset_us = 0
-        self._last_sync = 0.0
+        self._sync_lock = threading.Lock()   # serializes _sync_time's recv
         try:
             self._connect()
         except Exception as e:
@@ -72,6 +73,12 @@ class NT4Client:
                 raise
             log.warning("NT4 connect failed (%s); retrying in background", e)
             self._start_reconnect()
+        # periodic RTT re-sync off the hot path (ntcore runs RTT on a
+        # background thread too; an inline recv in set_value can stall the
+        # vision loop up to the 2 s response timeout on a slow server)
+        self._resync_thread = threading.Thread(
+            target=self._resync_loop, daemon=True, name="nt4-resync")
+        self._resync_thread.start()
 
     @property
     def connected(self) -> bool:
@@ -147,30 +154,44 @@ class NT4Client:
         return (time.monotonic_ns() - self._t0) // 1000 + \
             self._server_offset_us
 
+    def _resync_loop(self) -> None:
+        while not self._closed:
+            time.sleep(self.RESYNC_INTERVAL)
+            if self._closed:
+                return
+            if self._ws is not None:
+                try:
+                    self._sync_time()
+                except Exception:
+                    pass
+
     def _sync_time(self) -> None:
-        """RTT exchange: binary msg to topic -1 carrying our clock."""
-        self._last_sync = time.monotonic()
-        t1 = (time.monotonic_ns() - self._t0) // 1000
-        if not self._send(mp.pack([-1, 0, TYPE_IDS["int"], int(t1)])):
-            return
-        ws = self._ws
-        if ws is None:
-            return
-        try:
-            deadline = time.monotonic() + 2.0
-            while time.monotonic() < deadline:
-                msg = ws.recv(timeout=deadline - time.monotonic())
-                if not isinstance(msg, (bytes, bytearray)):
-                    continue    # topic announcements etc.
-                arr, _ = mp.unpack(bytes(msg))
-                if arr and arr[0] == -1:
-                    server_time = arr[1]
-                    t2 = (time.monotonic_ns() - self._t0) // 1000
-                    rtt = (t2 - t1) // 2
-                    self._server_offset_us = int(server_time) - int(t1) - rtt
-                    return
-        except Exception:
-            log.debug("NT4 time sync response not received; using local time")
+        """RTT exchange: binary msg to topic -1 carrying our clock. Runs
+        only on the resync/reconnect background threads (never the publish
+        path); _sync_lock keeps the two from recv'ing concurrently."""
+        with self._sync_lock:
+            t1 = (time.monotonic_ns() - self._t0) // 1000
+            if not self._send(mp.pack([-1, 0, TYPE_IDS["int"], int(t1)])):
+                return
+            ws = self._ws
+            if ws is None:
+                return
+            try:
+                deadline = time.monotonic() + 2.0
+                while time.monotonic() < deadline:
+                    msg = ws.recv(timeout=deadline - time.monotonic())
+                    if not isinstance(msg, (bytes, bytearray)):
+                        continue    # topic announcements etc.
+                    arr, _ = mp.unpack(bytes(msg))
+                    if arr and arr[0] == -1:
+                        server_time = arr[1]
+                        t2 = (time.monotonic_ns() - self._t0) // 1000
+                        rtt = (t2 - t1) // 2
+                        self._server_offset_us = \
+                            int(server_time) - int(t1) - rtt
+                        return
+            except Exception:
+                log.debug("NT4 time sync response missed; using local time")
 
     def publish(self, name: str, type_str: str,
                 properties: Optional[dict] = None) -> int:
@@ -192,9 +213,7 @@ class NT4Client:
         if isinstance(value, (list, tuple)) and type_str == "double[]":
             value = [float(v) for v in value]
         ts = timestamp_us or self._now_us()
-        if self._send(mp.pack([uid, int(ts), tid, value])) and \
-                time.monotonic() - self._last_sync > self.RESYNC_INTERVAL:
-            self._sync_time()
+        self._send(mp.pack([uid, int(ts), tid, value]))
 
     def flush(self) -> None:
         pass  # the sync websocket sends eagerly; kept for API parity

@@ -21,6 +21,7 @@ readable by standard ROS2 tooling as well.
 from __future__ import annotations
 
 import glob
+import heapq
 import os
 import sqlite3
 import struct
@@ -292,9 +293,12 @@ class Rosbag2Reader:
     def messages(self, topics: Optional[Iterable[str]] = None
                  ) -> Iterator[tuple[str, str, int, bytes]]:
         """Yield (topic, msgtype, timestamp_ns, rawdata) in timestamp order
-        across all storage files."""
+        across all storage files: per-file ORDER BY cursors heap-merged on
+        (timestamp, file index), so split bags with overlapping timestamp
+        ranges still come out globally ordered."""
         want = set(topics) if topics is not None else None
-        for db in self._db_files:
+
+        def file_stream(fidx, db):
             con = sqlite3.connect(f"file:{db}?mode=ro", uri=True)
             try:
                 tmap = {tid: (name, typ) for tid, name, typ, _ in con.execute(
@@ -306,9 +310,13 @@ class Rosbag2Reader:
                     name, typ = tmap[tid]
                     if want is not None and name not in want:
                         continue
-                    yield name, typ, ts, bytes(data)
+                    yield ts, fidx, name, typ, bytes(data)
             finally:
                 con.close()
+
+        streams = [file_stream(i, db) for i, db in enumerate(self._db_files)]
+        for ts, _fidx, name, typ, data in heapq.merge(*streams):
+            yield name, typ, ts, data
 
     def read_images(self, topic: str
                     ) -> Iterator[tuple[int, Optional[np.ndarray]]]:
@@ -319,14 +327,19 @@ class Rosbag2Reader:
 
 
 class Rosbag2Writer:
-    """Write a rosbag2 sqlite3 bag directory (metadata.yaml + <name>_0.db3)
-    using the same schema `ros2 bag record` produces."""
+    """Write a rosbag2 sqlite3 bag directory (metadata.yaml + <name>_N.db3)
+    using the same schema `ros2 bag record` produces. `segment` numbers the
+    storage file, mirroring `ros2 bag record`'s split naming; callers that
+    rotate on size/duration open segment N+1 in the same directory (the
+    launch-side _Ros2BagRecorder does). bytes_written tracks serialized
+    payload bytes for such split policies."""
 
-    def __init__(self, bag_dir: str):
+    def __init__(self, bag_dir: str, segment: int = 0):
         os.makedirs(bag_dir, exist_ok=True)
         self._dir = bag_dir
         name = os.path.basename(os.path.normpath(bag_dir)) or "bag"
-        self._db_path = os.path.join(bag_dir, f"{name}_0.db3")
+        self.bytes_written = 0
+        self._db_path = os.path.join(bag_dir, f"{name}_{segment}.db3")
         self._con = sqlite3.connect(self._db_path)
         cur = self._con.cursor()
         cur.execute("CREATE TABLE IF NOT EXISTS schema("
@@ -365,6 +378,7 @@ class Rosbag2Writer:
             "INSERT INTO messages (topic_id, timestamp, data) "
             "VALUES (?, ?, ?)", (tid, int(timestamp_ns), raw))
         self._counts[topic] += 1
+        self.bytes_written += len(raw)
 
     def write_image(self, topic: str, img: np.ndarray, timestamp_ns: int,
                     encoding: Optional[str] = None,
@@ -402,7 +416,12 @@ class Rosbag2Writer:
             },
             "message_count": c,
         } for n, c in self._counts.items()]
-        _synthesize_metadata(self._dir, [self._db_path], meta_topics,
+        # list every segment in the directory so a split recording's final
+        # metadata.yaml covers all storage files (counts reflect the last
+        # segment only; Rosbag2Reader merges all files regardless)
+        all_dbs = sorted(glob.glob(os.path.join(self._dir, "*.db3"))) \
+            or [self._db_path]
+        _synthesize_metadata(self._dir, all_dbs, meta_topics,
                              sum(self._counts.values()))
 
     def __enter__(self):
