@@ -238,6 +238,75 @@ def orthogonal_iteration(v_rays, obj_pts, r_init, t_init, n_steps=50):
     return r, t, err
 
 
+def estimate_tag_pose_exhaustive(corners, tag_size, fx, fy, cx, cy,
+                                 n_steps=50, n_dirs=8,
+                                 tilts=(0.6, 1.2, 1.9, 2.6)):
+    """Independent ambiguity oracle: exhaustive multi-start orthogonal
+    iteration in f64.
+
+    The reference resolves the planar pose ambiguity with apriltag's
+    fix_pose_ambiguities (apriltag_pose.c, via estimate_tag_pose at
+    apriltags_cuda_detector.cu:433), which finds the SECOND local minimum
+    of the object-space error analytically (a quartic in the tilt
+    parameter, after Schweighofer & Pinz 2006). This oracle upper-bounds
+    that computation instead of porting it: every local minimum of the
+    object-space error for a planar target lies on the one-parameter
+    family of tilts about axes perpendicular to the sight line, so
+    seeding orthogonal iteration from a dense grid of such tilts
+    (n_dirs directions x len(tilts) magnitudes, plus the homography
+    init) finds the global minimum AND the second minimum that the
+    quartic would return — without relying on the mirror heuristic the
+    production paths use. Used by tests/test_pose_ambiguity.py to check
+    both the f64 mirror oracle (estimate_tag_pose) and the f32 device
+    path (ops/pose.py) against reference-algorithm semantics.
+
+    Returns (R, t, err, second_err): the best pose and the object-space
+    errors of the two best distinct minima (second_err = inf if every
+    start converged to one basin)."""
+    obj = pose_object_points(tag_size)
+    corr = np.array([
+        [-1, 1, corners[0][0], corners[0][1]],
+        [1, 1, corners[1][0], corners[1][1]],
+        [1, -1, corners[2][0], corners[2][1]],
+        [-1, -1, corners[3][0], corners[3][1]],
+    ], np.float64)
+    H = homography_compute(corr)
+    r0, t0 = homography_to_pose(H, fx, fy, cx, cy)
+    v = np.stack([(corners[:, 0] - cx) / fx, (corners[:, 1] - cy) / fy,
+                  np.ones(4)], -1)
+    t0 = t0 * (tag_size / 2.0)
+    r1, t1, e1 = orthogonal_iteration(v, obj, r0, t0, n_steps)
+
+    # basis perpendicular to the sight line to the tag center
+    c = t1 / np.linalg.norm(t1)
+    a1 = np.cross(c, [0.0, 0.0, 1.0])
+    if np.linalg.norm(a1) < 1e-9:
+        a1 = np.cross(c, [0.0, 1.0, 0.0])
+    a1 /= np.linalg.norm(a1)
+    a2 = np.cross(c, a1)
+
+    sols = [(e1, r1, t1)]
+    for k in range(n_dirs):
+        phi = 2.0 * np.pi * k / n_dirs
+        axis = np.cos(phi) * a1 + np.sin(phi) * a2
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        for psi in tilts:
+            rot = np.eye(3) + np.sin(psi) * K + (1 - np.cos(psi)) * (K @ K)
+            r, t, e = orthogonal_iteration(v, obj, rot @ r1, t1, n_steps)
+            sols.append((e, r, t))
+    sols.sort(key=lambda s: s[0])
+    best = sols[0]
+    second = np.inf
+    for e, r, t in sols[1:]:
+        # distinct basin: tag-plane normals differ by > ~5 degrees
+        if float(r[:, 2] @ best[1][:, 2]) < 0.996:
+            second = e
+            break
+    return best[1], best[2], best[0], second
+
+
 def estimate_tag_pose(corners, tag_size, fx, fy, cx, cy, n_steps=50):
     """Full pose estimate with planar-ambiguity handling: refine from the
     homography init and from the mirrored-tilt init, return the lower

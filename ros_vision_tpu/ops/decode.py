@@ -31,11 +31,14 @@ from ros_vision_tpu.apriltag.families import TagFamily
 QUAD_DECIMATE = 2
 DECODE_SHARPENING = 0.25
 MAX_HAMMING = 2
-REFINE_ALPHA_SAMPLES = 32     # static superset; per edge the reference's
+REFINE_ALPHA_SAMPLES = 64     # static superset; per edge the reference's
 # length-adaptive count max(16, edge_len/8) (apriltag_detect.cu:360) is
-# realized by masking samples beyond each edge's own count. 32 covers
-# edges up to 256 full-res px exactly; longer edges cap at 32 samples
-# (spacing grows past the reference's ~8 px, tolerance-tested).
+# realized by masking samples beyond each edge's own count. 64 covers
+# edges up to 512 full-res px exactly (1080p tags run 300-500 px edges);
+# longer edges cap at 64 samples (spacing grows past the reference's
+# ~8 px, tolerance-tested). The sample grid sits in the decode-gated
+# narrow tail, so doubling it from 32 costs only the <= max_active_quads
+# screened survivors.
 REFINE_NORMAL_STEPS = 25      # range ±(quad_decimate+1), step 0.25 -> 25
 
 

@@ -28,21 +28,24 @@ def make_camera_mesh(n_cameras: int | None = None, model_parallel: int = 1):
 
 
 def shard_detector(detector, mesh: Mesh):
-    """Wrap a TPUDetector's jitted fn with camera-axis sharding.
+    """Wrap a TPUDetector's pipeline with camera-axis sharding via
+    shard_map: each device runs the detector on its LOCAL camera rows.
 
-    Frames (B, H, W) are sharded over 'cameras'; every per-quad output
-    inherits the batch sharding. Returns a jitted fn(frames) -> outputs with
-    explicit in/out shardings so multi-chip placement is compiler-checked.
+    shard_map (rather than jit + sharding constraints) is load-bearing:
+    the pipeline contains per-frame Pallas kernels (ops/frontend_pallas,
+    ops/ccl_pallas) whose grid is the batch axis — shard_map guarantees
+    each device launches them on its own rows instead of relying on the
+    SPMD partitioner to split a pallas_call. The batch is embarrassingly
+    parallel (no cross-camera math), so semantics are identical.
     """
-    in_s = NamedSharding(mesh, P("cameras", None, None))
-    intr_s = NamedSharding(mesh, P("cameras", None))
+    from jax.experimental.shard_map import shard_map
 
-    def fn(frames, intrinsics):
-        frames = jax.lax.with_sharding_constraint(frames, in_s)
-        intrinsics = jax.lax.with_sharding_constraint(intrinsics, intr_s)
-        return detector._detect_device(frames, intrinsics)
-
-    return jax.jit(fn, in_shardings=(in_s, intr_s))
+    fn = shard_map(
+        detector._detect_device, mesh=mesh,
+        in_specs=(P("cameras", None, None), P("cameras", None)),
+        out_specs=P("cameras"),
+        check_rep=False)
+    return jax.jit(fn)
 
 
 def gather_detections(out: dict) -> dict:

@@ -60,3 +60,18 @@ def reference_notags_image():
     img = cv2.imread(path)
     assert img is not None
     return img
+
+
+@pytest.fixture(scope="session")
+def reference_grayimage():
+    """grayimage.jpg — the reference's only 1280x800 photo, i.e. the exact
+    production camera resolution the perf targets are built on
+    (gpu_detector_test.cu:39-44 data set)."""
+    path = os.path.join(REFERENCE_DATA, "grayimage.jpg")
+    if not os.path.exists(path):
+        pytest.skip("reference golden images not available")
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    assert img is not None and img.shape == (800, 1280)
+    return img

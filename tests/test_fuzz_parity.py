@@ -141,3 +141,29 @@ def test_corrupted_bits_decode(n_flips, tpu_det):
     res = tpu_det.detect(img)
     assert [d.tag_id for d in res] == [tag_id]
     assert res[0].hamming == n_flips
+
+
+def test_long_edge_refine_parity():
+    """Edges > 256 full-res px used to clip to the 32-sample refine cap;
+    the 64-sample superset covers the reference's max(16, len/8) exactly
+    up to 512 px. A near-full-frame tag (~340 px edges) must match the
+    uncapped f64 oracle's corners tightly."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    bw, bh = 640, 480
+    det = TPUDetector(DetectorConfig(
+        width=bw, height=bh, max_points=65536, max_segments=256,
+        max_quads=16, fx=600.0, fy=600.0, cx=320.0, cy=240.0,
+        estimate_pose=True))
+    oracle = OracleDetector(fx=600.0, fy=600.0, cx=320.0, cy=240.0,
+                            estimate_pose=True)
+    img, _ = render_scene(
+        [11], [simple_square_corners(320, 240, 170, angle_deg=12.0)],
+        bw, bh, noise_sigma=1.0, seed=5)
+    t = det.detect(img)
+    o = oracle.detect(img).detections
+    assert [d.tag_id for d in t] == [d.tag_id for d in o] == [11]
+    dc = float(np.abs(t[0].corners - o[0].corners).max())
+    assert dc < 0.1, dc
+    dp = float(np.abs(np.asarray(t[0].pose_t)
+                      - np.asarray(o[0].pose_t)).max())
+    assert dp < 5e-3, dp

@@ -53,3 +53,30 @@ def test_tpu_golden_corner_parity(reference_golden_image, golden_det):
     # every point; refine_edges pulls the corners back to ~1.4 px. Recall
     # and decode are unaffected (the count tests above are strict).
     assert delta < 2.0, f"corner delta vs oracle: {delta:.3f} px"
+
+
+@pytest.fixture(scope="module")
+def production_det():
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    # the production 1280x800 configuration — the same shape bench.py and
+    # the camera target run at
+    return TPUDetector(DetectorConfig(
+        width=1280, height=800, fx=905.495617, fy=907.909470,
+        cx=609.916016, cy=352.682645))
+
+
+def test_tpu_grayimage_production_resolution(reference_grayimage,
+                                             production_det):
+    """The only reference photo at the 1280x800 production resolution:
+    exactly one tag (id 585, clean decode), corners matching the f64
+    oracle to sub-half-pixel."""
+    from ros_vision_tpu.apriltag.oracle import OracleDetector
+    t = production_det.detect(reference_grayimage)
+    assert [(d.tag_id, d.hamming) for d in t] == [(585, 0)]
+    o = OracleDetector(fx=905.495617, fy=907.909470,
+                       cx=609.916016, cy=352.682645).detect(
+                           reference_grayimage)
+    assert [d.tag_id for d in o.detections] == [585]
+    delta = np.abs(np.asarray(t[0].corners)
+                   - np.asarray(o.detections[0].corners)).max()
+    assert delta < 0.5, f"corner delta vs oracle: {delta:.3f} px"
