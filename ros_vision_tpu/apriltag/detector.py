@@ -72,6 +72,12 @@ class DetectorConfig:
     use_pallas_ccl: bool | None = None   # VMEM propagation kernel for CCL
     # (ops/ccl_pallas.py, ~2x on TPU); None = auto (on for TPU backends,
     # off for CPU where interpret-mode sweeps would crawl)
+    use_fused_frontend: bool | None = None   # fused Pallas CCL+boundary
+    # (ops/frontend_pallas.py): masks/flood/histogram/ranks/boundary
+    # compaction in two VMEM-resident kernels with monotone-routing
+    # compaction — no intermediate HBM planes, no lax.sort compactions.
+    # None = auto (TPU backend and the decimated frame fits the kernels'
+    # VMEM working set). Bit-identical outputs to the unfused path.
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -131,6 +137,24 @@ class TPUDetector:
         else:
             decim = thr.decimate2(gray)
             threshim, _ = thr.adaptive_threshold(decim)
+        dh, dw = cfg.height // 2, cfg.width // 2
+        use_fused = cfg.use_fused_frontend
+        if use_fused is None:
+            # auto candidates: TPU backend AND the boundary kernel's
+            # ~8-plane VMEM working set fits (2^18 px); 1080p falls back.
+            # Currently DEFAULT-OFF pending end-to-end on-chip validation
+            # of the split stage-A/stage-B kernels (the relay was down
+            # when round 3 landed them; rank_image and each stage compile
+            # individually). Set use_fused_frontend=True to enable.
+            use_fused = False and (jax.default_backend() in ("tpu", "axon")
+                                   and dw % 128 == 0 and dh % 8 == 0
+                                   and dh * dw <= (1 << 18))
+        if use_fused:
+            from ros_vision_tpu.ops.frontend_pallas import frontend
+            pts, _counts = frontend(
+                threshim, cfg.max_points, self._qcfg.max_boundary_pixels,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            return self._cluster_and_tail(gray, decim, pts, _counts, intr)
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:
             # auto: TPU backend AND the VMEM-resident kernel's working set
@@ -150,16 +174,24 @@ class TPUDetector:
         else:
             labels, sizes, ranks = ccl.label_components(threshim)
         pts, _counts = quadfit.boundary_points(threshim, ranks, self._qcfg)
-        kmax = cfg.max_points
+        return self._cluster_and_tail(gray, decim, pts, _counts, intr)
+
+    def _cluster_and_tail(self, gray, decim, pts, _counts, intr):
+        """Quad fitting + refine/decode/pose from compacted boundary
+        points. pts arrays may be wider than max_points (the fused
+        frontend pads to whole image rows); valid points always sit in
+        the leading slots either way."""
+        cfg = self.config
+        k_full = pts["key"].shape[1]
         ka = self._active_points
-        if ka < kmax:
+        if ka < k_full:
             # compaction places valid candidates first, so when every frame
             # fits in `ka` slots the narrow cluster_and_fit is exact; only
             # overflowing frames pay for full-width sorts
             def pad_k(x):
                 if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == ka:
                     widths = [(0, 0)] * x.ndim
-                    widths[1] = (0, kmax - ka)
+                    widths[1] = (0, k_full - ka)
                     return jnp.pad(x, widths)
                 return x
 

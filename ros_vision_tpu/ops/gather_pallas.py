@@ -39,6 +39,17 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+
+def _pick_tile(k: int) -> int:
+    """Largest K-tile <= 2048 that divides k (8-aligned when possible) —
+    point widths are not always 2048-divisible (the fused frontend pads
+    K to whole image rows, e.g. 131200 = 80 x 1640)."""
+    for t in range(min(_K_TILE, k), 0, -1):
+        if k % t == 0 and (t % 8 == 0 or t == k or t < 8):
+            return t
+    return k
+
+
 def is_tpu_backend() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
@@ -72,8 +83,7 @@ def table_take_cm(table: jnp.ndarray, idx: jnp.ndarray,
     Out-of-range idx produce 0."""
     b, s, c = table.shape
     _, k = idx.shape
-    k_tile = min(_K_TILE, k)
-    assert k % k_tile == 0, (k, k_tile)
+    k_tile = _pick_tile(k)
     s_pad = _ceil_to(s, _S_CHUNK)
     c_pad = _ceil_to(c, 8)
     tab = jnp.pad(table.astype(jnp.float32),
@@ -151,8 +161,7 @@ def value_histogram(values: jnp.ndarray, num_values: int,
     (out[b, s] = #(values[b] == s); values outside [0, num_values) are
     simply not counted)."""
     b, k = values.shape
-    k_tile = min(_K_TILE, k)
-    assert k % k_tile == 0, (k, k_tile)
+    k_tile = _pick_tile(k)
     s_pad = _ceil_to(num_values, _S_CHUNK)
     col = values.reshape(b * k, 1)
     n_tiles = k // k_tile
@@ -187,3 +196,87 @@ def histogram(values: jnp.ndarray, num_values: int) -> jnp.ndarray:
     if is_tpu_backend():
         return value_histogram(values, num_values)
     return value_histogram_ref(values, num_values)
+
+
+def _make_minmax_kernel(s_pad: int, k_tile: int):
+    n_chunks = s_pad // _S_CHUNK
+    big = 2 ** 30
+
+    def kernel(seg_ref, val_ref, min_ref, max_ref, amin, amax):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            amin[:] = jnp.full_like(amin, big)
+            amax[:] = jnp.full_like(amax, -big)
+
+        seg = seg_ref[:]                                  # (K_TILE, 1)
+        val = val_ref[:]
+        for ci in range(n_chunks):
+            iota_s = ci * _S_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (k_tile, _S_CHUNK), 1)
+            hit = seg == iota_s
+            lo = jnp.min(jnp.where(hit, val, big), axis=0, keepdims=True)
+            hi = jnp.max(jnp.where(hit, val, -big), axis=0, keepdims=True)
+            sl = pl.ds(ci * _S_CHUNK, _S_CHUNK)
+            amin[:, sl] = jnp.minimum(amin[:, sl], lo)
+            amax[:, sl] = jnp.maximum(amax[:, sl], hi)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            min_ref[0] = amin[:]
+            max_ref[0] = amax[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def segment_min_max(seg: jnp.ndarray, val: jnp.ndarray, num_segments: int,
+                    interpret: bool = False):
+    """Per-segment min and max of `val` (B, K) int32 over segment ids
+    `seg` (B, K) in [0, num_segments): -> ((B, S) min, (B, S) max), with
+    2^30 / -2^30 for empty segments. The one-hot masked-reduction
+    replacement for a (segment, value)-keyed lax.sort + first/last pick
+    (the ReduceByKey extents role, apriltag_gpu.cu:829-862) — ~0.2 ms
+    instead of ~1.3 ms per 131k-point sort per frame on v5e."""
+    b, k = seg.shape
+    k_tile = _pick_tile(k)
+    s_pad = _ceil_to(num_segments, _S_CHUNK)
+    segc = seg.reshape(b * k, 1)
+    valc = val.reshape(b * k, 1)
+    n_tiles = k // k_tile
+    colspec = pl.BlockSpec((k_tile, 1),
+                           lambda i, j, n=n_tiles: (i * n + j, 0),
+                           memory_space=pltpu.VMEM)
+    mn, mx = pl.pallas_call(
+        _make_minmax_kernel(s_pad, k_tile),
+        grid=(b, n_tiles),
+        in_specs=[colspec, colspec],
+        out_specs=(pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, s_pad), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, 1, s_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((b, 1, s_pad), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((1, s_pad), jnp.int32),
+                        pltpu.VMEM((1, s_pad), jnp.int32)],
+        interpret=interpret,
+    )(segc, valc)
+    return mn[:, 0, :num_segments], mx[:, 0, :num_segments]
+
+
+def segment_min_max_ref(seg: jnp.ndarray, val: jnp.ndarray,
+                        num_segments: int):
+    """jnp reference/CPU fallback with identical semantics."""
+    big = 2 ** 30
+    b = seg.shape[0]
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * num_segments
+    clip = jnp.clip(seg, 0, num_segments - 1)
+    flat = (clip + offs).reshape(-1)
+    inb = ((seg >= 0) & (seg < num_segments)).reshape(-1)
+    v = val.reshape(-1)
+    mn = jnp.full((b * num_segments,), big, jnp.int32).at[flat].min(
+        jnp.where(inb, v, big))
+    mx = jnp.full((b * num_segments,), -big, jnp.int32).at[flat].max(
+        jnp.where(inb, v, -big))
+    return mn.reshape(b, num_segments), mx.reshape(b, num_segments)

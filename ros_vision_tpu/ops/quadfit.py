@@ -70,9 +70,6 @@ class QuadFitConfig:
     tag_width: int = 4           # min tag width in decimated px (8/2 for 36h11)
     normal_border: bool = True
     reversed_border: bool = False
-    row_interleave: int = 16     # overflow fairness: candidate rows are
-    # visited in a strided order so that when the K cap overflows, dropped
-    # points spread across the whole image instead of truncating the bottom
 
     @property
     def max_boundary_pixels(self) -> int:
@@ -121,6 +118,56 @@ def fit_line_f32(m, n):
 _DIRS = ((1, 0), (0, 1), (-1, 1), (1, 1))
 
 
+def boundary_masks(threshim, ranks_img):
+    """Per-pixel candidate maskbits + per-direction blob-pair key images.
+
+    maskbits (B, H, W) int32: bit d = direction d emits a point, bit 4+d =
+    its gradient sign is +. keyimg (B, 4, H, W) int32: the blob-pair key
+    per direction (dir-major channel layout — the stage-B candidate order).
+    Role of the BlobDiff kernel's per-pixel tests (apriltag_gpu.cu:226-360).
+    """
+    b, h, w = threshim.shape
+    v = threshim.astype(jnp.int32)
+    big = ranks_img > 0
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    interior = ((xs >= 1) & (xs <= w - 2))[None, None, :] & \
+        ((ys >= 1) & (ys <= h - 2))[None, :, None]
+    maskbits = jnp.zeros((b, h, w), jnp.int32)
+    keych = []
+    for d, (dx, dy) in enumerate(_DIRS):
+        nv = jnp.roll(v, (-dy, -dx), axis=(1, 2))
+        nbig = jnp.roll(big, (-dy, -dx), axis=(1, 2))
+        nr = jnp.roll(ranks_img, (-dy, -dx), axis=(1, 2))
+        ok = interior & ((v + nv) == 255) & big & nbig
+        gpos = nv > v                                   # +1 gradient sign
+        maskbits = maskbits | (ok.astype(jnp.int32) << d) \
+            | ((ok & gpos).astype(jnp.int32) << (4 + d))
+        lo = jnp.minimum(ranks_img, nr) - 1
+        hi = jnp.maximum(ranks_img, nr) - 1
+        keych.append(jnp.where(ok & (lo >= 0), (lo << RANK_BITS) | hi,
+                               KEY_INVALID))
+    return maskbits, jnp.stack(keych, axis=1)
+
+
+def finish_points(pgd, key, w):
+    """(pgd, key) point words -> the {key, pack2} dict cluster_and_fit
+    consumes. pgd packs (py << 14) | (px << 3) | (g << 2) | dir; -1 =
+    empty slot."""
+    valid = pgd >= 0
+    dirk = pgd & 3
+    g = 2 * ((pgd >> 2) & 1) - 1                        # {0,1} -> {-1,+1}
+    px = (pgd >> 3) & 0x7FF
+    py = pgd >> 14
+    dxs = jnp.asarray([d[0] for d in _DIRS], jnp.int32)[dirk]
+    dys = jnp.asarray([d[1] for d in _DIRS], jnp.int32)[dirk]
+    x2 = 2 * px + dxs
+    y2 = 2 * py + dys
+    key = jnp.where(valid, key, KEY_INVALID)
+    pack2 = pack_payload(x2, y2, dxs * g, dys * g)
+    return {"key": key, "pack2": jnp.where(valid, pack2, 0)}
+
+
 def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     """Emit black/white blob-pair boundary points and compact to K slots.
 
@@ -131,100 +178,70 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
 
     Two-stage compaction sized for TPU scatter costs (which scale with the
     index-array length): stage A compacts the (B, H*W) pixel set down to
-    pixels that emit anything (payload: pixel index + per-direction validity
-    and gradient-sign bits in one int32); stage B expands 4 directions per
-    kept pixel and compacts to K (pixel, grad, dir) words. This avoids any
-    scatter over the raw (B, 4*H*W) candidate space. The blob-pair keys are
-    precomputed per (pixel, direction) as a 4-channel IMAGE (pure
-    elementwise rolls) and fetched with ONE K-index gather at the end —
-    per-point rank lookups would cost 2 gathers.
+    pixels that emit anything (payload: pixel coords + per-direction
+    validity and gradient-sign bits in one int32); stage B expands 4
+    directions per kept pixel (dir-major) and compacts to K (pixel, grad,
+    dir) words. Overflow at either cap is handled by uniform stream
+    thinning (segs.thin_uniform) — evenly spread drops, the same policy
+    (and bit-identical f32 selection math) as the fused Pallas frontend
+    kernel (ops/frontend_pallas.py).
 
     Returns (dict(key, pack2) of (B, K) int32, counts (B,)).
       key   = (lo_rank-1) << 11 | (hi_rank-1)  (blob-pair identity)
       pack2 = x-major payload (pack_payload)
     """
+    from ros_vision_tpu.ops.frontend_pallas import boundary_block_rows
     b, h, w = threshim.shape
     n = h * w
     k = cfg.max_points
-    v = threshim.astype(jnp.int32)
-    rimg = ranks.reshape(b, h, w)
-    big = rimg > 0
-
-    xs = jnp.arange(w)
-    ys = jnp.arange(h)
-    interior = ((xs >= 1) & (xs <= w - 2))[None, None, :] & \
-        ((ys >= 1) & (ys <= h - 2))[None, :, None]
-
-    # per-pixel candidate mask + gradient-sign bits (one int32 image) and
-    # per-direction blob-pair key image (B, H*W, 4): keys ride the stage-A
-    # pixel compaction as a 4-channel slice-gather (~0.2 ms/frame) and the
-    # stage-B scatter as a second payload word — a (B, 4N)-table gather at
-    # the K kept points costs ~3.5 ms/frame (measured v5e), 5x more
-    maskbits = jnp.zeros((b, h, w), jnp.int32)
-    keych = []
-    for d, (dx, dy) in enumerate(_DIRS):
-        nv = jnp.roll(v, (-dy, -dx), axis=(1, 2))
-        nbig = jnp.roll(big, (-dy, -dx), axis=(1, 2))
-        nr = jnp.roll(rimg, (-dy, -dx), axis=(1, 2))
-        ok = interior & ((v + nv) == 255) & big & nbig
-        gpos = nv > v                                   # +1 gradient sign
-        maskbits = maskbits | (ok.astype(jnp.int32) << d) \
-            | ((ok & gpos).astype(jnp.int32) << (4 + d))
-        lo = jnp.minimum(rimg, nr) - 1
-        hi = jnp.maximum(rimg, nr) - 1
-        keych.append(jnp.where(ok & (lo >= 0), (lo << RANK_BITS) | hi,
-                               KEY_INVALID))
-    keyimg = jnp.stack(keych, axis=-1).reshape(b, n, 4)
-
-    # strided row interleave for overflow fairness (see row_interleave),
-    # expressed as the compaction's order key — no physical relayout of
-    # the (B, N) planes (the swapaxes reshape costs ~2 strided full-image
-    # copies; the order key is free elementwise work inside the sort)
-    ri = next(r for r in range(min(cfg.row_interleave, h), 0, -1)
-              if h % r == 0)
-    pixidx = (ys[:, None] * w + xs[None, :]) + jnp.zeros_like(v)
-    iorder = ((ys[:, None] % ri) * ((h // ri) * w)
-              + (ys[:, None] // ri) * w + xs[None, :]) + jnp.zeros_like(v)
-
-    # ---- stage A: compact pixels that emit any point --------------------
-    p_cap = cfg.max_boundary_pixels
-    pxa, _ = segs.compact((maskbits & 0xF).reshape(b, n) != 0,
-                          {"pm": ((pixidx << 8) | maskbits).reshape(b, n)},
-                          p_cap, {"pm": jnp.int32(0)},
-                          order=iorder.reshape(b, n))
-    pm = pxa["pm"]                                       # (B, P)
-    pix = pm >> 8
-
-    # ---- stage B: expand 4 directions per pixel, compact to K -----------
-    # payloads: pgd = pix << 3 | g << 2 | dir, plus the blob-pair key
-    # (slice-gathered at the compacted pixels, channel-aligned with dir)
-    dvalid = jnp.stack([(pm >> d) & 1 for d in range(4)], axis=2) > 0
-    gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=2)
-    cand = (jnp.broadcast_to((pix << 3)[:, :, None], (b, p_cap, 4))
-            | (gbits << 2) | jnp.arange(4, dtype=jnp.int32))
-    keyp = jnp.take_along_axis(keyimg, pix[..., None], axis=1)  # (B, P, 4)
-    pts, counts = segs.compact(
-        dvalid.reshape(b, -1),
-        {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)},
-        k, {"pgd": jnp.int32(-1), "key": jnp.int32(KEY_INVALID)})
-
-    # ---- reconstruct payload for the K kept points -----------------------
-    pgd = pts["pgd"]
-    valid = pgd >= 0
-    pixk = jnp.where(valid, pgd >> 3, 0)
-    dirk = pgd & 3
-    g = 2 * ((pgd >> 2) & 1) - 1                        # {0,1} -> {-1,+1}
-    dxs = jnp.asarray([d[0] for d in _DIRS], jnp.int32)[dirk]
-    dys = jnp.asarray([d[1] for d in _DIRS], jnp.int32)[dirk]
-    px = pixk % w
-    py = pixk // w
     assert 2 * w < 2048 and 2 * h < 2048, \
         "image too large for 11-bit coords (w*h < 2^22, apriltag_gpu.cu:774)"
-    x2 = 2 * px + dxs
-    y2 = 2 * py + dys
-    key = jnp.where(valid, pts["key"], KEY_INVALID)
-    pack2 = pack_payload(x2, y2, dxs * g, dys * g)
-    return {"key": key, "pack2": jnp.where(valid, pack2, 0)}, counts
+    rimg = ranks.reshape(b, h, w)
+    maskbits, keyimg = boundary_masks(threshim, rimg)
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    pxy = ((ys[:, None] << 11) | xs[None, :]) + jnp.zeros((b, h, w),
+                                                          jnp.int32)
+
+    # ---- stage A: compact pixels that emit any point (uniform-thinned) --
+    # cap = whole pixel rows (boundary_block_rows) so the stage-B
+    # candidate enumeration matches the fused kernel's exactly
+    br = boundary_block_rows(cfg.max_boundary_pixels, w)
+    p_cap = br * w
+    valid_a = (maskbits & 0xF).reshape(b, n) != 0
+    keep_a, _ = segs.thin_uniform(valid_a, p_cap)
+    pxa, _ = segs.compact(keep_a,
+                          {"pm": ((pxy << 8) | maskbits).reshape(b, n)},
+                          p_cap, {"pm": jnp.int32(-1)})
+    pm = pxa["pm"]                                       # (B, P)
+    pvalid = pm >= 0
+    pix = jnp.where(pvalid, ((pm >> 19) & 0x7FF) * w + ((pm >> 8) & 0x7FF),
+                    0)
+
+    # ---- stage B: expand 4 directions per pixel, thin to K --------------
+    # candidate enumeration order is (pixel row, dir, pixel col) — the
+    # (B, BR, 4, W) stacking — matching ops/frontend_pallas's lane-segment
+    # layout bit for bit. payloads: pgd = py << 14 | px << 3 | g << 2 |
+    # dir, plus the blob-pair key gathered at the compacted pixels.
+    pm_r = pm.reshape(b, br, 1, w)
+    dvalid = jnp.concatenate(
+        [(pm_r >= 0) & (((pm_r >> d) & 1) > 0) for d in range(4)], axis=2)
+    gbits = jnp.concatenate(
+        [(pm_r >> (4 + d)) & 1 for d in range(4)], axis=2)  # (B, BR, 4, W)
+    pp = (pm_r >> 8) & ((1 << 22) - 1)                   # (py<<11)|px
+    cand = (jnp.broadcast_to((pp >> 11) << 14 | (pp & 0x7FF) << 3,
+                             (b, br, 4, w))
+            | (gbits << 2)
+            | jnp.arange(4, dtype=jnp.int32)[None, None, :, None])
+    keyp = jnp.take_along_axis(keyimg.reshape(b, 4, n),
+                               pix[:, None, :], axis=2)  # (B, 4, P)
+    keyp = jnp.swapaxes(keyp.reshape(b, 4, br, w), 1, 2)  # (B, BR, 4, W)
+    keep_b, _ = segs.thin_uniform(dvalid.reshape(b, -1), k)
+    pts, counts = segs.compact(
+        keep_b,
+        {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)},
+        k, {"pgd": jnp.int32(-1), "key": jnp.int32(KEY_INVALID)})
+    return finish_points(pts["pgd"], pts["key"], w), counts
 
 
 def _sort_by(keys, payloads, num_keys):
@@ -277,10 +294,13 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
 
     xmin = segs.take1(x2, jnp.clip(start_tab, 0, k - 1))
     xmax = segs.take1(x2, jnp.clip(end_tab, 0, k - 1))
-    ykey = jax.lax.sort([jnp.where(valid_pt, seg, nseg) << 11 | y2],
-                        dimension=1, num_keys=1)[0]
-    ymin = segs.take1(ykey, jnp.clip(start_tab, 0, k - 1)) & 0x7FF
-    ymax = segs.take1(ykey, jnp.clip(end_tab, 0, k - 1)) & 0x7FF
+    # y extents: one-hot masked segment reduction (~0.2 ms/frame) instead
+    # of a second full (seg<<11|y2) sort (~1.3 ms); values are identical
+    # for every populated segment and empty segments are masked by seg_ok
+    if gp.is_tpu_backend():
+        ymin, ymax = gp.segment_min_max(seg, y2, nseg1)
+    else:
+        ymin, ymax = gp.segment_min_max_ref(seg, y2, nseg1)
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
     cy = (ymin + ymax).astype(jnp.float32) * 0.5 - 0.028581
 

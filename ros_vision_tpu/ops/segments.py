@@ -51,6 +51,31 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict,
     return out, counts
 
 
+def thin_uniform(valid: jnp.ndarray, k: int):
+    """Uniform stream thinning to a capacity: returns (keep, slot2) where
+    keep ⊆ valid selects ≤ k-2 elements spread EVENLY over the valid
+    stream, and slot2 (B, M) is each kept element's compacted output slot.
+
+    The selection rule is closed-form: with slot = exclusive prefix count
+    of valid and r = min(1, (k-2)/T), keep iff floor((slot+1)·r) >
+    floor(slot·r), landing at slot2 = floor(slot·r). Targets are strictly
+    increasing over kept elements by construction (monotone routable — the
+    Pallas frontend kernel uses the identical f32 math), and r == 1 keeps
+    everything exactly. Replaces order-key row interleaving as the
+    overflow-fairness policy: a blob loses points evenly along its
+    boundary instead of by whole rows."""
+    from ros_vision_tpu.ops.scan import cumsum_mxu
+    b, m = valid.shape
+    cnt = cumsum_mxu(valid.astype(jnp.float32), binary=True)
+    total = cnt[:, -1:]
+    r = jnp.minimum(1.0, (k - 2) / jnp.maximum(total, 1.0))
+    slot = cnt - 1.0                       # inclusive-1 = exclusive prefix
+    t_next = jnp.floor((slot + 1.0) * r)
+    t_here = jnp.floor(slot * r)
+    keep = valid & (t_next > t_here)
+    return keep, t_here.astype(jnp.int32)
+
+
 def segment_ids_from_sorted_keys(*keys: jnp.ndarray, valid: jnp.ndarray,
                                  max_segments: int):
     """Segment ids for a key-sorted array (role of the key-change detection

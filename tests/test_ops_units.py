@@ -165,3 +165,23 @@ def test_label_histogram_interpret():
     want = np.stack([np.bincount(np.asarray(lab)[i], minlength=n)
                      for i in range(b)])
     assert np.array_equal(got, want)
+
+
+def test_segment_min_max_matches_ref():
+    import numpy as np
+    from ros_vision_tpu.ops import gather_pallas as gp
+    rng = np.random.default_rng(3)
+    b, k, s = 2, 4096, 300
+    seg = jnp.asarray(rng.integers(0, s, (b, k)), jnp.int32)
+    val = jnp.asarray(rng.integers(0, 2000, (b, k)), jnp.int32)
+    mn, mx = gp.segment_min_max(seg, val, s, interpret=True)
+    rmn, rmx = gp.segment_min_max_ref(seg, val, s)
+    np.testing.assert_array_equal(np.asarray(mn), np.asarray(rmn))
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(rmx))
+
+
+def test_pick_tile_divides():
+    from ros_vision_tpu.ops.gather_pallas import _pick_tile
+    for k in (131072, 131200, 4096, 2048, 1000, 96, 7):
+        t = _pick_tile(k)
+        assert k % t == 0 and t <= 2048, (k, t)
