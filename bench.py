@@ -129,7 +129,7 @@ def streaming_bench(img, duration_s: float = 12.0):
 
 def main():
     batches = [int(x) for x in
-               os.environ.get("BENCH_BATCHES", "1,4,8").split(",")]
+               os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     img, _ = render_scene(
         [0, 42, 311, 100],

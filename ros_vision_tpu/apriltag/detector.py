@@ -90,6 +90,48 @@ class DetectorConfig:
             "width/height must be multiples of 8 (apriltag_gpu.cu:754-755)"
 
 
+def pack_outputs(out: dict) -> jnp.ndarray:
+    """Flatten the per-quad output dict into ONE (B, NQ, C) f32 tensor.
+
+    The relay-attached chip pays ~46 ms RTT PER device->host transfer, so
+    fetching the ~10-leaf output tree costs ~10 RTTs; a single packed
+    tensor costs one. tag_id (< 587) and hamming (<= 2) are exact in f32.
+    Layout: [ok, tag_id, hamming, margin, H(9), corners(8), centers(2)
+    (+ pose_R(9), pose_t(3), pose_err when pose is on)]."""
+    b, nq = out["ok"].shape
+    parts = [out["ok"].astype(jnp.float32)[..., None],
+             out["tag_id"].astype(jnp.float32)[..., None],
+             out["hamming"].astype(jnp.float32)[..., None],
+             out["margin"][..., None],
+             out["H"].reshape(b, nq, 9),
+             out["corners"].reshape(b, nq, 8),
+             out["centers"].reshape(b, nq, 2)]
+    if "pose_t" in out:
+        parts += [out["pose_R"].reshape(b, nq, 9),
+                  out["pose_t"].reshape(b, nq, 3),
+                  out["pose_err"][..., None]]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_outputs(packed: np.ndarray) -> dict:
+    """Host-side inverse of pack_outputs (numpy views, no copies)."""
+    p = np.asarray(packed)
+    out = {
+        "ok": p[..., 0] > 0.5,
+        "tag_id": p[..., 1].astype(np.int32),
+        "hamming": p[..., 2].astype(np.int32),
+        "margin": p[..., 3],
+        "H": p[..., 4:13].reshape(p.shape[:2] + (3, 3)),
+        "corners": p[..., 13:21].reshape(p.shape[:2] + (4, 2)),
+        "centers": p[..., 21:23],
+    }
+    if p.shape[-1] > 23:
+        out["pose_R"] = p[..., 23:32].reshape(p.shape[:2] + (3, 3))
+        out["pose_t"] = p[..., 32:35]
+        out["pose_err"] = p[..., 35]
+    return out
+
+
 class TPUDetector:
     """Batched detector. Build once per (config, batch) — compiled on first
     call, cached thereafter."""
@@ -113,6 +155,8 @@ class TPUDetector:
         self._qcfg_narrow = dataclasses.replace(
             self._qcfg, max_points=self._active_points)
         self._fn = jax.jit(self._detect_device)
+        self._fn_packed = jax.jit(
+            lambda g, i: pack_outputs(self._detect_device(g, i)))
 
     def default_intrinsics(self, batch: int) -> np.ndarray:
         """(B, 9) [fx, fy, cx, cy, k1, k2, p1, p2, k3] from the config —
@@ -321,6 +365,17 @@ class TPUDetector:
             intrinsics = self.default_intrinsics(g.shape[0])
         return self._fn(g, jnp.asarray(intrinsics, jnp.float32))
 
+    def detect_raw_packed(self, gray_batch, intrinsics=None):
+        """Like detect_raw but returns the single packed (B, NQ, C) f32
+        tensor (pack_outputs layout): ONE device->host transfer on fetch
+        — the hot-path form for streaming over the relay."""
+        g = jnp.asarray(gray_batch)
+        if g.ndim == 2:
+            g = g[None]
+        if intrinsics is None:
+            intrinsics = self.default_intrinsics(g.shape[0])
+        return self._fn_packed(g, jnp.asarray(intrinsics, jnp.float32))
+
     def detect_yuyv(self, yuyv_batch, intrinsics=None) -> list:
         """Detect on raw YUYV422 camera frames (B, H, 2*W) uint8 — the
         reference's native camera format (Y extraction on device,
@@ -342,10 +397,14 @@ class TPUDetector:
         results = self.unpack(self.detect_raw(gray_batch, intrinsics))
         return results[0] if single else results
 
-    def unpack(self, raw_out: dict) -> list:
-        """Device output dict -> per-row TPUDetection lists (forces the
-        device->host transfer; pair with detect_raw for pipelined use)."""
-        out = jax.tree_util.tree_map(np.asarray, raw_out)
+    def unpack(self, raw_out) -> list:
+        """Device output (dict OR packed tensor) -> per-row TPUDetection
+        lists (forces the device->host transfer; pair with
+        detect_raw/detect_raw_packed for pipelined use)."""
+        if not isinstance(raw_out, dict):
+            out = unpack_outputs(raw_out)
+        else:
+            out = jax.tree_util.tree_map(np.asarray, raw_out)
         results = []
         for b in range(out["ok"].shape[0]):
             dets = []

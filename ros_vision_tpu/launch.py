@@ -300,10 +300,13 @@ class VisionSystem:
                            if n_cam % d == 0)
                 if axis > 1:
                     from ros_vision_tpu.parallel.mesh import (
-                        make_camera_mesh, shard_detector)
+                        make_camera_mesh, shard_detector,
+                        shard_detector_packed)
                     self.mesh = make_camera_mesh(n_cameras=axis)
                     self.detector._fn = shard_detector(self.detector,
                                                        self.mesh)
+                    self.detector._fn_packed = shard_detector_packed(
+                        self.detector, self.mesh)
                     log.info("camera batch sharded over %d devices", axis)
         # per-camera intrinsics rows (default-config rows where a camera has
         # no calibration artifact)

@@ -322,7 +322,9 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides):
     n = h * w
 
     hc = 8                     # rows per histogram matmul
-    gc = 4                     # rows per gather matmul (bf16 tmp bound)
+    gc = 2                     # rows per gather matmul (the f32 tmp —
+    # MXU accumulators must be 32-bit — is (512, gc*W); gc=2 keeps it
+    # at 2.6 MB next to the one-hot builds)
     assert h % hc == 0 and h % gc == 0, h
 
     def kernel(thresh_ref, rank_ref, hist_ref, lab_ref):
@@ -377,11 +379,11 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides):
             oh_lo = ((rows & 511) == iota_lo_g).astype(jnp.bfloat16)
             g = []
             for tab in (r_hi, r_lo):
-                tmp = jax.lax.dot_general(       # (512, gc*W) bf16 exact
+                tmp = jax.lax.dot_general(       # (512, gc*W) f32
                     tab, oh_hi, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16)
-                g.append(jnp.sum(tmp * oh_lo, axis=0, keepdims=True,
-                                 dtype=jnp.float32))
+                    preferred_element_type=jnp.float32)
+                g.append(jnp.sum(tmp * oh_lo.astype(jnp.float32), axis=0,
+                                 keepdims=True))
             rank_rows = (g[0] * 256.0 + g[1]).astype(jnp.int32)
             for r in range(gc):
                 rank_ref[0, pl.ds(i * gc + r, 1), :] = \
@@ -483,12 +485,11 @@ def _make_stage_b_kernel(w, br, k_cap, out_rows):
 
     def kernel(pm_ref, k0_ref, k1_ref, k2_ref, k3_ref,
                key_ref, pack2_ref, cnt_ref):
-        # ---- expand 4 dirs as LANE segments, thin, route -------------
-        # The candidate plane is (BR, 4W): row r holds the 4 direction
-        # candidates of stage-A slots [r*W, (r+1)*W) side by side, so the
-        # flat order is (row, dir, col) — mirrored exactly by the XLA
-        # path's (B, BR, 4, W) stacking. BR is clamped so BR*4W stays
-        # routable (see _ROUTE_MAX_ELEMS).
+        # ---- expand 4 dirs as SUBLANE blocks (dir-major), thin, route
+        # The candidate plane is (4*BR, W): block d holds direction d's
+        # candidates for all stage-A slots — the same dir-major
+        # enumeration as the XLA path's (B, 4, P) stacking. BR is
+        # clamped so 4*BR*W stays routable (see _ROUTE_MAX_ELEMS).
         pmb = pm_ref[0]
         keys = [k0_ref[0], k1_ref[0], k2_ref[0], k3_ref[0]]
         ppb = (pmb >> 8) & ((1 << 22) - 1)            # (py<<11)|px
@@ -498,13 +499,13 @@ def _make_stage_b_kernel(w, br, k_cap, out_rows):
             okd = (pmb >= 0) & (((pmb >> d) & 1) == 1)
             g = (pmb >> (4 + d)) & 1
             cand_l.append(jnp.where(okd, base | (g << 2) | d, -1))
-        cand = jnp.concatenate(cand_l, axis=1)        # (BR, 4W)
-        ckey = jnp.concatenate(keys, axis=1)
+        cand = jnp.concatenate(cand_l, axis=0)        # (4*BR, W)
+        ckey = jnp.concatenate(keys, axis=0)
         keep_b, tgt_b, kept_b = _thin_targets(cand >= 0, k_cap)
         cand = jnp.where(keep_b, cand, -1)
-        rows_b = jax.lax.broadcasted_iota(jnp.int32, (br, 4 * w), 0)
-        cols_b = jax.lax.broadcasted_iota(jnp.int32, (br, 4 * w), 1)
-        d_b = jnp.where(keep_b, rows_b * (4 * w) + cols_b - tgt_b, 0)
+        rows_b = jax.lax.broadcasted_iota(jnp.int32, (4 * br, w), 0)
+        cols_b = jax.lax.broadcasted_iota(jnp.int32, (4 * br, w), 1)
+        d_b = jnp.where(keep_b, rows_b * w + cols_b - tgt_b, 0)
         pgd, key = _route([cand, ckey], d_b, nbits_b)
 
         # ---- finish: pack2/key words for the first out_rows rows -----
@@ -541,8 +542,8 @@ def boundary_compact(threshim: jnp.ndarray, ranks: jnp.ndarray,
     b, h, w = threshim.shape
     assert h % 8 == 0 and w % 128 == 0, (h, w)
     br = boundary_block_rows(p_cap, w)
-    out_rows = -(-(-(-k_cap // (4 * w))) // 8) * 8
-    out_rows = min(out_rows, br)
+    out_rows = -(-(-(-k_cap // w)) // 8) * 8
+    out_rows = min(out_rows, 4 * br)
     spec = lambda sh: pl.BlockSpec((1,) + sh,  # noqa: E731
                                    lambda i: (i,) + (0,) * len(sh),
                                    memory_space=pltpu.VMEM)
@@ -563,15 +564,15 @@ def boundary_compact(threshim: jnp.ndarray, ranks: jnp.ndarray,
         _make_stage_b_kernel(w, br, k_cap, out_rows),
         grid=(b,),
         in_specs=[spec((br, w))] * 5,
-        out_specs=(spec((out_rows, 4 * w)), spec((out_rows, 4 * w)),
+        out_specs=(spec((out_rows, w)), spec((out_rows, w)),
                    pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                                 memory_space=pltpu.SMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, out_rows, 4 * w), jnp.int32),
-                   jax.ShapeDtypeStruct((b, out_rows, 4 * w), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((b, out_rows, w), jnp.int32),
+                   jax.ShapeDtypeStruct((b, out_rows, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1, 1), jnp.int32)),
         interpret=interpret,
     )(*planes)
-    kw = out_rows * 4 * w
+    kw = out_rows * w
     return key.reshape(b, kw), pack2.reshape(b, kw), cnt[:, 0, 0]
 
 

@@ -210,32 +210,29 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     p_cap = br * w
     valid_a = (maskbits & 0xF).reshape(b, n) != 0
     keep_a, _ = segs.thin_uniform(valid_a, p_cap)
-    pxa, _ = segs.compact(keep_a,
-                          {"pm": ((pxy << 8) | maskbits).reshape(b, n)},
-                          p_cap, {"pm": jnp.int32(-1)})
-    pm = pxa["pm"]                                       # (B, P)
+    # pm = (py<<11|px)<<8 | maskbits is strictly increasing over pixels,
+    # so stage-A compaction is a keys-only sort (no payload word)
+    pm, _ = segs.compact_monotone(
+        keep_a, ((pxy << 8) | maskbits).reshape(b, n), p_cap,
+        jnp.int32(-1))
     pvalid = pm >= 0
     pix = jnp.where(pvalid, ((pm >> 19) & 0x7FF) * w + ((pm >> 8) & 0x7FF),
                     0)
 
-    # ---- stage B: expand 4 directions per pixel, thin to K --------------
-    # candidate enumeration order is (pixel row, dir, pixel col) — the
-    # (B, BR, 4, W) stacking — matching ops/frontend_pallas's lane-segment
-    # layout bit for bit. payloads: pgd = py << 14 | px << 3 | g << 2 |
-    # dir, plus the blob-pair key gathered at the compacted pixels.
-    pm_r = pm.reshape(b, br, 1, w)
-    dvalid = jnp.concatenate(
-        [(pm_r >= 0) & (((pm_r >> d) & 1) > 0) for d in range(4)], axis=2)
-    gbits = jnp.concatenate(
-        [(pm_r >> (4 + d)) & 1 for d in range(4)], axis=2)  # (B, BR, 4, W)
-    pp = (pm_r >> 8) & ((1 << 22) - 1)                   # (py<<11)|px
-    cand = (jnp.broadcast_to((pp >> 11) << 14 | (pp & 0x7FF) << 3,
-                             (b, br, 4, w))
-            | (gbits << 2)
-            | jnp.arange(4, dtype=jnp.int32)[None, None, :, None])
+    # ---- stage B: expand 4 directions per pixel (dir-major), thin to K --
+    # payloads: pgd = py << 14 | px << 3 | g << 2 | dir, plus the
+    # blob-pair key slice-gathered at the compacted pixels (dir-major
+    # channel layout keeps the gather transpose-free); the fused kernel
+    # mirrors this enumeration with sublane-stacked dir blocks
+    dvalid = jnp.stack([pvalid & (((pm >> d) & 1) > 0) for d in range(4)],
+                       axis=1)                           # (B, 4, P)
+    gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=1)
+    pp = (pm >> 8) & ((1 << 22) - 1)                     # (py<<11)|px
+    cand = (jnp.broadcast_to(((pp >> 11) << 14 | (pp & 0x7FF) << 3)
+                             [:, None, :], (b, 4, p_cap))
+            | (gbits << 2) | jnp.arange(4, dtype=jnp.int32)[None, :, None])
     keyp = jnp.take_along_axis(keyimg.reshape(b, 4, n),
                                pix[:, None, :], axis=2)  # (B, 4, P)
-    keyp = jnp.swapaxes(keyp.reshape(b, 4, br, w), 1, 2)  # (B, BR, 4, W)
     keep_b, _ = segs.thin_uniform(dvalid.reshape(b, -1), k)
     pts, counts = segs.compact(
         keep_b,
@@ -294,13 +291,16 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
 
     xmin = segs.take1(x2, jnp.clip(start_tab, 0, k - 1))
     xmax = segs.take1(x2, jnp.clip(end_tab, 0, k - 1))
-    # y extents: one-hot masked segment reduction (~0.2 ms/frame) instead
-    # of a second full (seg<<11|y2) sort (~1.3 ms); values are identical
-    # for every populated segment and empty segments are masked by seg_ok
-    if gp.is_tpu_backend():
-        ymin, ymax = gp.segment_min_max(seg, y2, nseg1)
-    else:
-        ymin, ymax = gp.segment_min_max_ref(seg, y2, nseg1)
+    # y extents from one extra single-key sort. (A gather_pallas
+    # one-hot masked segment min/max was tried in round 3 and measured
+    # 4.5x SLOWER on chip — 1.5 vs 0.33 ms/frame at K=131k: the
+    # (K, NSEG) select+min sweep does ~134M VPU ops/frame while the
+    # radix sort is bandwidth-bound. Kernel kept in gather_pallas for
+    # smaller-K callers.)
+    ykey = jax.lax.sort([jnp.where(valid_pt, seg, nseg) << 11 | y2],
+                        dimension=1, num_keys=1)[0]
+    ymin = segs.take1(ykey, jnp.clip(start_tab, 0, k - 1)) & 0x7FF
+    ymax = segs.take1(ykey, jnp.clip(end_tab, 0, k - 1)) & 0x7FF
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
     cy = (ymin + ymax).astype(jnp.float32) * 0.5 - 0.028581
 

@@ -51,6 +51,25 @@ def compact(valid: jnp.ndarray, payload: dict, k: int, fill: dict,
     return out, counts
 
 
+def compact_monotone(valid: jnp.ndarray, values: jnp.ndarray, k: int,
+                     fill):
+    """Stream compaction for a payload that is strictly increasing along
+    axis 1 over valid elements and nonnegative: ONE keys-only lax.sort
+    (invalid slots forced to INT32_MAX) replaces the key+payload sort of
+    compact() — ~2x cheaper on TPU, where sort cost scales with operand
+    count. Returns (compacted (B, K), counts)."""
+    b, m = valid.shape
+    counts = jnp.minimum(valid.sum(axis=1), k)
+    big = jnp.int32(2 ** 31 - 1)
+    s = jax.lax.sort([jnp.where(valid, values, big)], dimension=1,
+                     num_keys=1)[0]
+    s = s[:, :k]
+    if m < k:
+        s = jnp.pad(s, ((0, 0), (0, k - m)), constant_values=fill)
+    slot_ok = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    return jnp.where(slot_ok, s, fill), counts
+
+
 def thin_uniform(valid: jnp.ndarray, k: int):
     """Uniform stream thinning to a capacity: returns (keep, slot2) where
     keep ⊆ valid selects ≤ k-2 elements spread EVENLY over the valid

@@ -48,6 +48,24 @@ def shard_detector(detector, mesh: Mesh):
     return jax.jit(fn)
 
 
+def shard_detector_packed(detector, mesh: Mesh):
+    """shard_detector for the packed-output hot path (VisionNode.submit):
+    each device runs detect + pack on its local camera rows."""
+    from jax.experimental.shard_map import shard_map
+
+    from ros_vision_tpu.apriltag.detector import pack_outputs
+
+    def local(frames, intrinsics):
+        return pack_outputs(detector._detect_device(frames, intrinsics))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("cameras", None, None), P("cameras", None)),
+        out_specs=P("cameras", None, None),
+        check_rep=False)
+    return jax.jit(fn)
+
+
 def gather_detections(out: dict) -> dict:
     """Host-side gather of the (already replicated-on-fetch) outputs."""
     return jax.tree_util.tree_map(np.asarray, out)

@@ -176,7 +176,10 @@ class CameraPublisher:
         n_window = 0
         while self._running:
             frame = self.camera.read()
-            stamp = time.monotonic_ns()      # capture-time stamping
+            # capture-time stamping in EPOCH ns: stamps flow to NT
+            # collect_time and to capture->pose latency measurement
+            # against time.time() (the reference stamps with node now())
+            stamp = time.time_ns()
             if frame is None:
                 self.read_failures += 1
                 self.consecutive_failures += 1
@@ -196,7 +199,7 @@ class CameraPublisher:
             if self.ring is not None:
                 self.ring.push(frame, stamp)
             self.frames_captured += 1
-            self.last_latency_s = (time.monotonic_ns() - stamp) / 1e9
+            self.last_latency_s = (time.time_ns() - stamp) / 1e9
             n_window += 1
             if n_window == 100:              # FPS log every 100 frames
                 dt = time.monotonic() - t_window

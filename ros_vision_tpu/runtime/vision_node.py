@@ -79,8 +79,10 @@ class VisionNode:
         """Asynchronously dispatch detection for a frame batch (returns the
         raw device output handle — computation overlaps host work; the
         double-buffering role of the reference's pinned-memory MemcpyAsync,
-        cuda_frc971.h:107-145)."""
-        return self.detector.detect_raw(frames, self.intrinsics)
+        cuda_frc971.h:107-145). Uses the PACKED output form: the whole
+        result comes back in one device->host transfer (one relay RTT
+        instead of one per output-tree leaf)."""
+        return self.detector.detect_raw_packed(frames, self.intrinsics)
 
     def process_batch(self, frames: np.ndarray, capture_stamps=None,
                       pending=None):
@@ -94,7 +96,12 @@ class VisionNode:
         t0 = time.monotonic()
         if pending is not None:
             batch_dets = self.detector.unpack(pending)
-        else:
+        elif hasattr(self.detector, "detect_raw_packed"):
+            # inline path shares the packed program with submit() so the
+            # streaming loop only ever compiles one executable
+            batch_dets = self.detector.unpack(
+                self.detector.detect_raw_packed(frames, self.intrinsics))
+        else:                      # DI fakes in tests implement detect()
             batch_dets = self.detector.detect(frames, self.intrinsics)
         det_time = time.monotonic() - t0
         if frames.ndim == 2:

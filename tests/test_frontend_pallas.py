@@ -74,26 +74,21 @@ def _boundary_ref(threshim, ranks, p_cap, k_cap):
     p_cap = br * w
     valid_a = (maskbits & 0xF).reshape(b, n) != 0
     keep_a, _ = segs.thin_uniform(valid_a, p_cap)
-    pxa, _ = segs.compact(keep_a,
-                          {"pm": ((pxy << 8) | maskbits).reshape(b, n)},
-                          p_cap, {"pm": jnp.int32(-1)})
-    pm = pxa["pm"]
+    pm, _ = segs.compact_monotone(
+        keep_a, ((pxy << 8) | maskbits).reshape(b, n), p_cap,
+        jnp.int32(-1))
     pvalid = pm >= 0
     pix = jnp.where(pvalid, ((pm >> 19) & 0x7FF) * w + ((pm >> 8) & 0x7FF),
                     0)
-    pm_r = pm.reshape(b, br, 1, w)
-    dvalid = jnp.concatenate(
-        [(pm_r >= 0) & (((pm_r >> d) & 1) > 0) for d in range(4)], axis=2)
-    gbits = jnp.concatenate(
-        [(pm_r >> (4 + d)) & 1 for d in range(4)], axis=2)
-    pp = (pm_r >> 8) & ((1 << 22) - 1)
-    cand = (jnp.broadcast_to((pp >> 11) << 14 | (pp & 0x7FF) << 3,
-                             (b, br, 4, w))
-            | (gbits << 2)
-            | jnp.arange(4, dtype=jnp.int32)[None, None, :, None])
+    dvalid = jnp.stack([pvalid & (((pm >> d) & 1) > 0) for d in range(4)],
+                       axis=1)
+    gbits = jnp.stack([(pm >> (4 + d)) & 1 for d in range(4)], axis=1)
+    pp = (pm >> 8) & ((1 << 22) - 1)
+    cand = (jnp.broadcast_to(((pp >> 11) << 14 | (pp & 0x7FF) << 3)
+                             [:, None, :], (b, 4, br * w))
+            | (gbits << 2) | jnp.arange(4, dtype=jnp.int32)[None, :, None])
     keyp = jnp.take_along_axis(keyimg.reshape(b, 4, n),
                                pix[:, None, :], axis=2)
-    keyp = jnp.swapaxes(keyp.reshape(b, 4, br, w), 1, 2)
     keep_b, _ = segs.thin_uniform(dvalid.reshape(b, -1), k_cap)
     pts, counts = segs.compact(
         keep_b, {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)},

@@ -185,3 +185,27 @@ def test_pick_tile_divides():
     for k in (131072, 131200, 4096, 2048, 1000, 96, 7):
         t = _pick_tile(k)
         assert k % t == 0 and t <= 2048, (k, t)
+
+
+def test_pack_outputs_roundtrip():
+    import numpy as np
+    from ros_vision_tpu.apriltag.detector import pack_outputs, unpack_outputs
+    rng = np.random.default_rng(5)
+    b, nq = 2, 8
+    out = {
+        "ok": jnp.asarray(rng.integers(0, 2, (b, nq)) > 0),
+        "tag_id": jnp.asarray(rng.integers(0, 587, (b, nq)), jnp.int32),
+        "hamming": jnp.asarray(rng.integers(0, 3, (b, nq)), jnp.int32),
+        "margin": jnp.asarray(rng.normal(40, 5, (b, nq)), jnp.float32),
+        "H": jnp.asarray(rng.normal(0, 1, (b, nq, 3, 3)), jnp.float32),
+        "corners": jnp.asarray(rng.uniform(0, 1280, (b, nq, 4, 2)),
+                               jnp.float32),
+        "centers": jnp.asarray(rng.uniform(0, 1280, (b, nq, 2)),
+                               jnp.float32),
+        "pose_R": jnp.asarray(rng.normal(0, 1, (b, nq, 3, 3)), jnp.float32),
+        "pose_t": jnp.asarray(rng.normal(0, 1, (b, nq, 3)), jnp.float32),
+        "pose_err": jnp.asarray(rng.uniform(0, 1, (b, nq)), jnp.float32),
+    }
+    rt = unpack_outputs(np.asarray(pack_outputs(out)))
+    for k, v in out.items():
+        np.testing.assert_array_equal(rt[k], np.asarray(v), err_msg=k)
