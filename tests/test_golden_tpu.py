@@ -47,12 +47,13 @@ def test_tpu_golden_corner_parity(reference_golden_image, golden_det):
     assert len(o.detections) == 1 and len(t) == 1
     delta = np.abs(np.asarray(t[0].corners)
                    - np.asarray(o.detections[0].corners)).max()
-    # the cluttered 1080p photo saturates the 131072 boundary-point cap,
-    # so the TPU path fits quads from a row-strided subset (the designed
-    # graceful overflow, quadfit.py row_interleave) while the oracle keeps
-    # every point; refine_edges pulls the corners back to ~1.4 px. Recall
-    # and decode are unaffected (the count tests above are strict).
-    assert delta < 2.0, f"corner delta vs oracle: {delta:.3f} px"
+    # the cluttered 1080p photo saturates the boundary caps, so the TPU
+    # path fits quads from a thinned subset while the oracle keeps every
+    # point. Round 2's blob-blind row striding cost ~1.4 px here
+    # (tolerance was 2.0); round 3's UNIFORM stream thinning + 64-sample
+    # refine_edges brings the measured delta to 0.03 px — asserted with
+    # a 0.5 px margin.
+    assert delta < 0.5, f"corner delta vs oracle: {delta:.3f} px"
 
 
 @pytest.fixture(scope="module")
