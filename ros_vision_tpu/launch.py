@@ -21,6 +21,7 @@ import argparse
 import logging
 import os
 import re
+import threading
 import time
 
 import numpy as np
@@ -419,7 +420,15 @@ class VisionSystem:
     def spin(self) -> None:
         """Pipelined loop: dispatch detection for batch N+1 while the host
         publishes batch N (the device computes during host-side NT/viewer
-        work — capture->pose latency stays one pipeline stage deep)."""
+        work — capture->pose latency stays one pipeline stage deep).
+
+        Measured on the relay (bench.py streaming): this depth-1 inline
+        form runs 6.2 fps/camera at p50 291 ms; a publisher-thread
+        variant that let the main loop free-run (submit as fast as
+        frames arrive, worker fetches) measured WORSE on both axes
+        (5.3 fps, p50 759 ms — batches pile up in the device queue and
+        every readback waits behind them), so the inline backpressure
+        is load-bearing."""
         pending = None
         pending_frames = None
         pending_stamps = None
