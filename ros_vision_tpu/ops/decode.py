@@ -137,8 +137,29 @@ def _distort(px, py, intr, dist):
 def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
                  quad_valid: jnp.ndarray, intr=None, dist=None):
     """Batched subpixel edge refinement (refine_edges + the frc971
-    undistortion variant). corners (B, NQ, 4, 2) full-res. Returns refined
-    corners."""
+    undistortion variant). corners (B, NQ, 4, 2) full-res. Returns
+    refined corners.
+
+    The static sample grid is length-gated: edges <= 256 px need at most
+    32 of the 64 superset slots (the mask zeroes the rest, so the
+    32-sample branch is bit-identical there), and the masked-but-gathered
+    extra slots cost ~2 ms/frame on the relay — a lax.cond picks the
+    narrow grid whenever every valid quad's edges fit."""
+    pa_ = corners
+    pb_ = jnp.roll(corners, -1, axis=2)
+    mag_ = jnp.sqrt((pb_[..., 1] - pa_[..., 1]) ** 2
+                    + (pb_[..., 0] - pa_[..., 0]) ** 2)
+    longest = jnp.max(jnp.where(quad_valid[..., None], mag_, 0.0))
+    return jax.lax.cond(
+        longest <= 8.0 * 32,
+        lambda: _refine_edges_core(gray, corners, quad_valid, intr, dist,
+                                   32),
+        lambda: _refine_edges_core(gray, corners, quad_valid, intr, dist,
+                                   REFINE_ALPHA_SAMPLES))
+
+
+def _refine_edges_core(gray, corners, quad_valid, intr, dist,
+                       n_alpha: int):
     b, nq = corners.shape[:2]
     gray_f = gray.astype(jnp.float32)
     have_dist = intr is not None and dist is not None
@@ -154,10 +175,10 @@ def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
 
     # length-adaptive sample count per edge: nsamples = max(16, len/8)
     # (apriltag refine_edges; apriltag_detect.cu:360), realized on the
-    # static 64-sample grid by masking samples s >= nsamples
-    s = jnp.arange(REFINE_ALPHA_SAMPLES, dtype=jnp.float32)
+    # static n_alpha-sample grid by masking samples s >= nsamples
+    s = jnp.arange(n_alpha, dtype=jnp.float32)
     ns = jnp.clip(jnp.maximum(16.0, jnp.floor(mag / 8.0)), 16,
-                  REFINE_ALPHA_SAMPLES)               # (B,NQ,4)
+                  n_alpha)                            # (B,NQ,4)
     alpha = (1.0 + s) / (ns[..., None] + 1)           # (B,NQ,4,S)
     s_ok = s < ns[..., None]
     x0 = (alpha * pa[..., 0:1] + (1 - alpha) * pb[..., 0:1])  # (B,NQ,4,S)
