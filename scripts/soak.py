@@ -136,6 +136,17 @@ def run_gate(args) -> int:
     cm = jnp.asarray(dec.make_code_matrix(fam))
     mags = (0.5, 1.0, 1.5, 2.0, 2.5, 3.0)
     n_pert = 64
+
+    import jax
+
+    @jax.jit
+    def gate_fn(gray, quads):
+        valid = jnp.ones(quads.shape[:2], bool)
+        pre = dec.decode_quads(gray, quads, valid, fam, cm)
+        refined = dec.refine_edges(gray, quads, valid, None, None)
+        post = dec.decode_quads(gray, refined, valid, fam, cm)
+        return pre["hamming"], post["hamming"], post["ok"]
+
     losses_at = {m: 0 for m in mags}
     cases = 0
     t0 = time.time()
@@ -158,13 +169,10 @@ def run_gate(args) -> int:
             theta = rng.uniform(0, 2 * np.pi, (n_pert, 4))
             offs = mag * np.stack([np.cos(theta), np.sin(theta)], -1)
             quads = jnp.asarray((base[None] + offs)[None], jnp.float32)
-            valid = jnp.ones((1, n_pert), bool)
-            pre = dec.decode_quads(gray, quads, valid, fam, cm)
-            refined = dec.refine_edges(gray, quads, valid, None, None)
-            post = dec.decode_quads(gray, refined, valid, fam, cm)
-            pre_h = np.asarray(pre["hamming"])[0]
-            post_h = np.asarray(post["hamming"])[0]
-            post_ok = np.asarray(post["ok"])[0]
+            pre_hj, post_hj, post_okj = gate_fn(gray, quads)
+            pre_h = np.asarray(pre_hj)[0]
+            post_h = np.asarray(post_hj)[0]
+            post_ok = np.asarray(post_okj)[0]
             n_loss = int(((pre_h > 4) & (post_h <= 2) & post_ok).sum())
             losses_at[mag] += n_loss
             cases += n_pert
