@@ -212,11 +212,15 @@ class TPUDetector:
                               < (1 << 19))
         if use_pallas_ccl:
             # stride-ladder flood to fixpoint: fully kernel-resident, no
-            # XLA hook/pointer-jump rounds (2.2x over the hybrid schedule,
-            # measured v5e; exact parity with label_components)
-            labels, sizes, ranks = ccl.label_components_flood(threshim)
+            # XLA hook/pointer-jump rounds (exact parity with
+            # label_components). A rank-only MXU one-hot gather epilogue
+            # was measured SLOWER than the packed take_along_axis (43.8
+            # vs 39.3 ms at B=4 — the (K, 512) one-hot intermediate costs
+            # ~16 KB VMEM traffic per pixel; gather_pallas.rank_gather
+            # keeps the receipts), so the full flood path stays.
+            _labels, _sizes, ranks = ccl.label_components_flood(threshim)
         else:
-            labels, sizes, ranks = ccl.label_components(threshim)
+            _labels, _sizes, ranks = ccl.label_components(threshim)
         pts, _counts = quadfit.boundary_points(threshim, ranks, self._qcfg)
         return self._cluster_and_tail(gray, decim, pts, _counts, intr)
 

@@ -280,3 +280,80 @@ def segment_min_max_ref(seg: jnp.ndarray, val: jnp.ndarray,
     mx = jnp.full((b * num_segments,), -big, jnp.int32).at[flat].max(
         jnp.where(inb, v, -big))
     return mn.reshape(b, num_segments), mx.reshape(b, num_segments)
+
+
+def _make_rank_gather_kernel(hi_dim: int, k_tile: int):
+    s_chunk = min(_S_CHUNK, hi_dim)
+    n_chunks = (hi_dim + s_chunk - 1) // s_chunk
+
+    def kernel(lab_ref, rhi_ref, rlo_ref, out_ref, acc):
+        lab = lab_ref[:]                                   # (K_TILE, 1)
+        hi = lab >> 9
+        lo = lab & 511
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (k_tile, 512), 1)
+        oh_lo = (lo == iota_lo).astype(jnp.float32)
+        g = []
+        for tab_ref in (rhi_ref, rlo_ref):
+            acc[:] = jnp.zeros_like(acc)
+            for ci in range(n_chunks):
+                iota_s = ci * s_chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (k_tile, s_chunk), 1)
+                oh_hi = (hi == iota_s).astype(jnp.bfloat16)
+                tab = tab_ref[0, pl.ds(ci * s_chunk, s_chunk), :]
+                acc[:] += jax.lax.dot_general(
+                    oh_hi, tab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            g.append(jnp.sum(acc[:] * oh_lo, axis=1, keepdims=True))
+        out_ref[:] = (g[0] * 256.0 + g[1]).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_gather(labels: jnp.ndarray, rank_v: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """ranks_per_pixel[i] = rank_v[labels[i]] for labels (B, N) int32 in
+    [0, N), rank_v (B, N) int32 in [0, 2048): the CCL rank-broadcast
+    epilogue as a factored one-hot MXU gather over the (label>>9,
+    label&511) table space — one-hot rows select exactly one bf16 chunk
+    entry (rank>>8 <= 7, rank&255 <= 255, both bf16-exact), so the result
+    is bit-exact. NOTE: measured SLOWER than the near-scalar (B, N)
+    take_along_axis it was meant to replace (43.8 vs 39.3 ms whole-CCL
+    at (4, 400, 640) on v5e) — the (K_TILE, 512) one-hot intermediate
+    costs ~16 KB of VMEM traffic per gathered element. Kept as the
+    bit-exact reference implementation for in-kernel epilogues."""
+    b, n = labels.shape
+    assert n < (1 << 19), n
+    hi_dim = _ceil_to(-(-n // 512), 8)
+    if hi_dim > _S_CHUNK:          # chunked table reads need whole chunks
+        hi_dim = _ceil_to(hi_dim, _S_CHUNK)
+    pad_n = hi_dim * 512
+    rv = rank_v
+    if pad_n != n:
+        rv = jnp.pad(rank_v, ((0, 0), (0, pad_n - n)))
+    rtab = rv.reshape(b, hi_dim, 512)
+    r_hi = (rtab >> 8).astype(jnp.bfloat16)
+    r_lo = (rtab & 255).astype(jnp.bfloat16)
+    k_tile = _pick_tile(n)
+    col = labels.reshape(b * n, 1)
+    n_tiles = n // k_tile
+    out = pl.pallas_call(
+        _make_rank_gather_kernel(hi_dim, k_tile),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((k_tile, 1),
+                         lambda i, j, nt=n_tiles: (i * nt + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hi_dim, 512), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hi_dim, 512), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_tile, 1),
+                               lambda i, j, nt=n_tiles: (i * nt + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((k_tile, 512), jnp.float32)],
+        interpret=interpret,
+    )(col, r_hi, r_lo)
+    return out.reshape(b, n)

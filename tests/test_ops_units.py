@@ -209,3 +209,30 @@ def test_pack_outputs_roundtrip():
     rt = unpack_outputs(np.asarray(pack_outputs(out)))
     for k, v in out.items():
         np.testing.assert_array_equal(rt[k], np.asarray(v), err_msg=k)
+
+
+def test_rank_gather_matches_take():
+    import numpy as np
+    from ros_vision_tpu.ops import gather_pallas as gp
+    rng = np.random.default_rng(11)
+    b, n = 2, 8192
+    labels = jnp.asarray(rng.integers(0, n, (b, n)), jnp.int32)
+    rank_v = jnp.asarray(rng.integers(0, 2048, (b, n)), jnp.int32)
+    got = gp.rank_gather(labels, rank_v, interpret=True)
+    want = jnp.take_along_axis(rank_v, labels, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_flood_ranks_matches_full_flood():
+    import numpy as np
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import ccl, threshold as thr
+    img, _ = render_scene(
+        [7, 99], [simple_square_corners(70, 60, 40),
+                  simple_square_corners(180, 70, 42, angle_deg=30)],
+        256, 128, noise_sigma=2.0)
+    t = thr.adaptive_threshold(thr.decimate2(jnp.asarray(img)[None]))[0]
+    _, _, ranks_ref = ccl.label_components_flood(t, interpret=True)
+    ranks = ccl.flood_ranks(t, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ranks), np.asarray(ranks_ref))
