@@ -45,7 +45,13 @@ class DetectorConfig:
     width: int = 1280
     height: int = 800
     family: str = "tag36h11"
-    max_points: int = 131072
+    max_points: int | None = None    # boundary-point capacity K (None =
+    # auto: smallest power of two >= decimated_px/4, in [16384, 131072]).
+    # Auto lands on the two chip-validated operating points: 65536 at
+    # 1280x800 (halving from 131072 measured 26.3 -> 22.7 ms/frame at B=4
+    # with recall intact and grayimage golden corners moving 0.185 px) and
+    # 131072 at 1920x1080 (65536 measured 0.74 px golden corner error vs
+    # the <0.5 px invariant — the cluttered 1080p photo needs the slots).
     max_segments: int = 1024
     max_quads: int = 128
     refine_edges: bool = True
@@ -139,6 +145,12 @@ class TPUDetector:
     def __init__(self, config: DetectorConfig | None = None, **kw):
         if config is None:
             config = DetectorConfig(**kw)
+        if config.max_points is None:
+            dp = (config.height // 2) * (config.width // 2)
+            mp = 16384
+            while mp < min(max(dp // 4, 16384), 131072):
+                mp *= 2
+            config = dataclasses.replace(config, max_points=mp)
         self.config = config
         self.family: TagFamily = get_family(config.family)
         self._code_matrix = jnp.asarray(dec.make_code_matrix(self.family))

@@ -192,7 +192,7 @@ def _coarsen_thresh(threshim: jnp.ndarray) -> jnp.ndarray:
 
 
 def _flood_multilevel(threshim, values, interpret, strides, levels,
-                      chunk=1):
+                      chunk=1, diag_strides=()):
     """Pyramid-preconditioned min-flood: flood the uniform-block coarse
     graph first (4x smaller, and the tortuous around-the-specks paths of
     the big background component shortcut through all-white-block
@@ -206,23 +206,27 @@ def _flood_multilevel(threshim, values, interpret, strides, levels,
         ct = _coarsen_thresh(threshim)
         cv = values.reshape(b, h // 2, 2, w // 2, 2).min(axis=(2, 4))
         cl = _flood_multilevel(ct, cv, interpret, strides, levels - 1,
-                               chunk)
+                               chunk, diag_strides)
         up = jnp.broadcast_to(cl[:, :, None, :, None],
                               (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
         ct_up = jnp.broadcast_to(ct[:, :, None, :, None],
                                  (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
         values = jnp.where(ct_up != 127, jnp.minimum(values, up), values)
     return ccl_pallas.propagate_fixpoint(threshim, values, strides=strides,
-                                         chunk=chunk, interpret=interpret)
+                                         chunk=chunk,
+                                         diag_strides=diag_strides,
+                                         interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "min_blob",
                                              "strides", "broadcast",
-                                             "levels", "chunk"))
+                                             "levels", "chunk",
+                                             "diag_strides"))
 def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
                            min_blob: int = 25, strides: tuple | None = None,
                            broadcast: str = "gather", levels: int = 0,
-                           chunk: int = 1):
+                           chunk: int = 1,
+                           diag_strides: tuple | None = None):
     # levels>0 enables the pyramid preconditioner (_flood_multilevel);
     # measured a wash on v5e at 400x640 (43 -> 46 ms at B=4: the coarse
     # kernel + up/down sampling offset the sweep savings) — kept for
@@ -247,10 +251,12 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
     n = h * w
     if strides is None:
         strides = ccl_pallas._STRIDES
+    if diag_strides is None:
+        diag_strides = ccl_pallas._DIAG_STRIDES
     init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                             (b, n)).reshape(b, h, w)
     p = _flood_multilevel(threshim, init, interpret, strides,
-                          levels, chunk).reshape(b, n)
+                          levels, chunk, diag_strides).reshape(b, n)
 
     # component sizes over the label space via the one-hot MXU histogram;
     # counts[v] > 0 iff v is some component's label (= root pixel index),

@@ -100,15 +100,26 @@ def _kernel(sweeps_ref, thresh_ref, lab_in_ref, lab_out_ref):
 _STRIDES = (4, 32)        # fastest of the measured ladders on v5e (39.1 ms
 # at B=4 vs 41.8 for (2,4,8,16,32) and 41.7 for (4,16,64)): more strides
 # buy reach but pay per-sweep ops, and snake-heavy scenes are turn-bound
+_DIAG_STRIDES = (4,)      # white-only diagonal chains: jumps shortcut the
+# snake turns that straight ladders cannot. Measured (scripts/mb_diag.py,
+# B=4 noisy scene, full label_components_flood): diag=(4,) 9.27-9.32
+# ms/frame vs 9.99 for (); (2,)/(4,16)/(4,32)/(8,)/(16,) all worse or a
+# wash. Parity exact incl. 1080p-decimated 540x960 on chip. (The Mosaic
+# diag+matmul crash in CLAUDE.md needs a matmul fori loop in the SAME
+# kernel; the flood kernel has none.)
 _MAX_SWEEPS = 16384       # safety bound (never reached in practice)
 
 
 def build_ladder_masks(threshim: jnp.ndarray,
-                       strides: tuple = _STRIDES) -> jnp.ndarray:
+                       strides: tuple = _STRIDES,
+                       diag_strides: tuple = ()) -> jnp.ndarray:
     """XLA-side loop-invariant connectivity bits for (B, H, W) uint8
     threshim: bits 0..7 = the 8 unit directions (_OFFSETS order),
-    8+4k+j = stride strides[k], direction j in (+x, -x, +y, -y)."""
-    assert 8 + 4 * len(strides) <= 32
+    8+4k+j = stride strides[k], direction j in (+x, -x, +y, -y); then 4
+    bits per diagonal stride (white-only staircase-free diagonal chains:
+    (+s,+s), (-s,-s), (+s,-s), (-s,+s)) — diagonal jumps shortcut the
+    snaking white background that makes the fixpoint turn-bound."""
+    assert 8 + 4 * len(strides) + 4 * len(diag_strides) <= 32
     v = threshim.astype(jnp.int32)
     _, h, w = v.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
@@ -141,40 +152,58 @@ def build_ladder_masks(threshim: jnp.ndarray,
     # strides (any powers of two) pick their bits from the cache.
     cpx = (mask_bits >> 1) & 1
     cpy = (mask_bits >> 3) & 1
-    chains = {1: (cpx, cpy)}
+    cpd = (mask_bits >> 7) & 1          # (+1, +1) white diagonal
+    cpa = (mask_bits >> 6) & 1          # (+1, -1) white anti-diagonal
+    chains = {1: (cpx, cpy, cpd, cpa)}
     s = 1
-    while s < max(strides):
+    need = max(list(strides) + list(diag_strides) + [1])
+    while s < need:
         cpx = cpx & roll(cpx, 0, s)
         cpy = cpy & roll(cpy, s, 0)
+        if diag_strides:
+            cpd = cpd & roll(cpd, s, s)
+            cpa = cpa & roll(cpa, s, -s)
         s *= 2
-        chains[s] = (cpx, cpy)
+        chains[s] = (cpx, cpy, cpd, cpa)
     bit = 8
     for s in strides:
-        px, py = chains[s]
+        px, py = chains[s][0], chains[s][1]
         for m in (px, roll(px, 0, -s), py, roll(py, -s, 0)):
+            mask_bits = mask_bits | (m << bit)
+            bit += 1
+    for s in diag_strides:
+        pd, pa = chains[s][2], chains[s][3]
+        for m in (pd, roll(pd, -s, -s), pa, roll(pa, -s, s)):
             mask_bits = mask_bits | (m << bit)
             bit += 1
     return mask_bits
 
 
-def _ladder_sweep(mask_bits, lab, strides):
+def _ladder_sweep(mask_bits, lab, strides, diag_strides=()):
     """One chained ladder sweep: largest jumps first, unit 8-neighborhood
     last, each jump reading the running minimum."""
     m = lab
-    for k in reversed(range(len(strides))):
-        s = strides[k]
-        for j, (dy, dx) in enumerate(((0, s), (0, -s), (s, 0), (-s, 0))):
-            bit = 8 + 4 * k + j
-            nl = _roll2(m, dy, dx)
-            m = jnp.minimum(m, jnp.where(((mask_bits >> bit) & 1) == 1,
-                                         nl, _BIG))
+    jumps = []
+    bit = 8
+    for s in strides:
+        for (dy, dx) in ((0, s), (0, -s), (s, 0), (-s, 0)):
+            jumps.append((dy, dx, bit))
+            bit += 1
+    for s in diag_strides:
+        for (dy, dx) in ((s, s), (-s, -s), (s, -s), (-s, s)):
+            jumps.append((dy, dx, bit))
+            bit += 1
+    for dy, dx, bt in reversed(jumps):
+        nl = _roll2(m, dy, dx)
+        m = jnp.minimum(m, jnp.where(((mask_bits >> bt) & 1) == 1,
+                                     nl, _BIG))
     for k, (dy, dx, _d) in enumerate(_OFFSETS):
         nl = _roll2(m, dy, dx)
         m = jnp.minimum(m, jnp.where(((mask_bits >> k) & 1) == 1, nl, _BIG))
     return m
 
 
-def _make_fix_kernel(strides, chunk):
+def _make_fix_kernel(strides, chunk, diag_strides=()):
     # (convergence-check throttling via an in-kernel lax.cond every 8th
     # sweep measured WORSE — 45.0 vs 39-42 ms at B=4; the scalar cond costs
     # more than the per-sweep compare+reduce it skips)
@@ -185,7 +214,7 @@ def _make_fix_kernel(strides, chunk):
             lab, _, it = state
             new = lab
             for _ in range(chunk):
-                new = _ladder_sweep(mask_bits, new, strides)
+                new = _ladder_sweep(mask_bits, new, strides, diag_strides)
             return new, jnp.any(new != lab), it + 1
 
         lab, _, _ = jax.lax.while_loop(
@@ -196,10 +225,11 @@ def _make_fix_kernel(strides, chunk):
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "chunk",
-                                             "interpret"))
+                                             "diag_strides", "interpret"))
 def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
                        masks: jnp.ndarray | None = None,
                        strides: tuple = _STRIDES, chunk: int = 1,
+                       diag_strides: tuple = (),
                        interpret: bool = False) -> jnp.ndarray:
     """Min-flood `values` (B, H, W) int32 over the same-value connectivity
     of `threshim` to FIXPOINT (in-kernel convergence loop). With values =
@@ -213,11 +243,11 @@ def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
         # XLA-side build: an in-VMEM Pallas formulation measured SLOWER
         # (10.4 vs 7.5 ms marginal at (4,400,640) — Mosaic lane rolls are
         # costly) and overflows scoped VMEM at 540x960
-        masks = build_ladder_masks(threshim, strides)
+        masks = build_ladder_masks(threshim, strides, diag_strides)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fix_kernel(strides, chunk),
+        _make_fix_kernel(strides, chunk, diag_strides),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),

@@ -81,8 +81,17 @@ class VisionNode:
         double-buffering role of the reference's pinned-memory MemcpyAsync,
         cuda_frc971.h:107-145). Uses the PACKED output form: the whole
         result comes back in one device->host transfer (one relay RTT
-        instead of one per output-tree leaf)."""
-        return self.detector.detect_raw_packed(frames, self.intrinsics)
+        instead of one per output-tree leaf), and the D2H copy is enqueued
+        ASYNCHRONOUSLY here so it streams back as soon as the device
+        finishes — by the time process_batch() unpacks the pending batch
+        the host buffer is already populated and np.asarray doesn't pay
+        the relay round-trip at read time."""
+        out = self.detector.detect_raw_packed(frames, self.intrinsics)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # DI fakes / odd backends
+            pass
+        return out
 
     def process_batch(self, frames: np.ndarray, capture_stamps=None,
                       pending=None):
