@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""cluster_and_fit internal budget: jit prefixes at the _debug_stop cut
+points ('tables', 'theta', 'errs', 'peaks', full) and difference —
+where do the 6.7 ms/frame go?"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/ros_vision_tpu_jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+B = int(os.environ.get("MB_B", "4"))
+
+
+def timecall(jf, *args, iters=20):
+    out = jf(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    outs = [jf(*args) for _ in range(iters)]
+    _ = np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[0]
+    _ = np.asarray(jax.tree_util.tree_leaves(outs[0])[0]).ravel()[0]
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import ccl, quadfit, threshold as thr
+    img, _ = render_scene(
+        [0, 42, 311, 100],
+        [simple_square_corners(300, 250, 90),
+         simple_square_corners(800, 400, 110, angle_deg=20),
+         simple_square_corners(450, 600, 70, angle_deg=-35),
+         simple_square_corners(1000, 600, 60, angle_deg=50)],
+        1280, 800, noise_sigma=1.0)
+    det = TPUDetector(DetectorConfig(
+        width=1280, height=800, fx=900.0, fy=900.0, cx=640.0, cy=400.0,
+        estimate_pose=True))
+    g = jnp.asarray(np.broadcast_to(img, (B, 800, 1280)).copy())
+    qcfg = det._qcfg
+
+    decim = thr.decimate2(g)
+    t, _ = thr.adaptive_threshold(decim)
+    _, _, ranks = ccl.label_components_flood(t)
+    pts, _c = quadfit.boundary_points(t, ranks, qcfg)
+    pts = jax.block_until_ready(jax.tree_util.tree_map(jnp.asarray, pts))
+    decim = jax.block_until_ready(decim)
+
+    prev = 0.0
+    for stop in ["tables", "theta", "errs", "peaks", None]:
+        jf = jax.jit(lambda p, d, s=stop: quadfit.cluster_and_fit(
+            p, d, qcfg, _debug_stop=s))
+        t0 = time.perf_counter()
+        jax.block_until_ready(jf(pts, decim))
+        comp = time.perf_counter() - t0
+        ms = timecall(jf, pts, decim)
+        print(f"{str(stop):8s} {ms:8.2f} ms total, {ms / B:6.2f}/frame "
+              f"(delta {(ms - prev) / B:+6.2f}/frame, compile {comp:.0f}s)",
+              flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
