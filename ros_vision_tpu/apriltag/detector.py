@@ -78,12 +78,15 @@ class DetectorConfig:
     use_pallas_ccl: bool | None = None   # VMEM propagation kernel for CCL
     # (ops/ccl_pallas.py, ~2x on TPU); None = auto (on for TPU backends,
     # off for CPU where interpret-mode sweeps would crawl)
-    use_fused_frontend: bool | None = None   # fused Pallas CCL+boundary
-    # (ops/frontend_pallas.py): masks/flood/histogram/ranks/boundary
-    # compaction in two VMEM-resident kernels with monotone-routing
-    # compaction — no intermediate HBM planes, no lax.sort compactions.
-    # None = auto (TPU backend and the decimated frame fits the kernels'
-    # VMEM working set). Bit-identical outputs to the unfused path.
+    use_fused_frontend: bool | None = None   # Pallas monotone-routing
+    # boundary compaction (ops/frontend_pallas.py boundary_compact): the
+    # two lax.sort stream compactions of quadfit.boundary_points become
+    # three small VMEM routing kernels (measured 1.92 vs 4.31 ms/frame at
+    # (4, 400, 640) K=65536, bit-identical outputs incl. counts and slot
+    # order). None = auto: TPU backend, the decimated frame is routable
+    # (h*w <= 2^18), AND a probe compile of the kernels succeeds — the
+    # Mosaic compile helper has crashed nondeterministically on larger
+    # kernels, so auto falls back to the XLA path instead of failing.
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -166,9 +169,37 @@ class TPUDetector:
         self._active_points = min(ka, config.max_points)
         self._qcfg_narrow = dataclasses.replace(
             self._qcfg, max_points=self._active_points)
+        self._use_fused = self._resolve_fused_frontend()
         self._fn = jax.jit(self._detect_device)
         self._fn_packed = jax.jit(
             lambda g, i: pack_outputs(self._detect_device(g, i)))
+
+    def _resolve_fused_frontend(self) -> bool:
+        """Resolve use_fused_frontend=None: TPU backend + routable frame
+        + a successful probe compile of the routing kernels (AOT, b=2 so
+        Mosaic's grid double-buffering is exercised — b=1 skips it; the
+        persistent compilation cache makes reruns free). The Mosaic
+        compile helper rejects some kernel shapes/sessions; probing
+        keeps a helper regression from taking down detection."""
+        cfg = self.config
+        uf = cfg.use_fused_frontend
+        if uf is not None:
+            return uf
+        dh, dw = cfg.height // 2, cfg.width // 2
+        if not (jax.default_backend() in ("tpu", "axon")
+                and dw % 128 == 0 and dh % 8 == 0 and dh * dw <= (1 << 18)):
+            return False
+        try:
+            from ros_vision_tpu.ops.frontend_pallas import boundary_compact
+            jax.jit(functools.partial(
+                boundary_compact,
+                p_cap=self._qcfg.max_boundary_pixels,
+                k_cap=cfg.max_points)).lower(
+                    jax.ShapeDtypeStruct((2, dh, dw), jnp.uint8),
+                    jax.ShapeDtypeStruct((2, dh, dw), jnp.int32)).compile()
+            return True
+        except Exception:  # helper crash -> XLA fallback, never fatal
+            return False
 
     def default_intrinsics(self, batch: int) -> np.ndarray:
         """(B, 9) [fx, fy, cx, cy, k1, k2, p1, p2, k3] from the config —
@@ -194,23 +225,6 @@ class TPUDetector:
             decim = thr.decimate2(gray)
             threshim, _ = thr.adaptive_threshold(decim)
         dh, dw = cfg.height // 2, cfg.width // 2
-        use_fused = cfg.use_fused_frontend
-        if use_fused is None:
-            # auto candidates: TPU backend AND the boundary kernel's
-            # ~8-plane VMEM working set fits (2^18 px); 1080p falls back.
-            # Currently DEFAULT-OFF pending end-to-end on-chip validation
-            # of the split stage-A/stage-B kernels (the relay was down
-            # when round 3 landed them; rank_image and each stage compile
-            # individually). Set use_fused_frontend=True to enable.
-            use_fused = False and (jax.default_backend() in ("tpu", "axon")
-                                   and dw % 128 == 0 and dh % 8 == 0
-                                   and dh * dw <= (1 << 18))
-        if use_fused:
-            from ros_vision_tpu.ops.frontend_pallas import frontend
-            pts, _counts = frontend(
-                threshim, cfg.max_points, self._qcfg.max_boundary_pixels,
-                interpret=jax.default_backend() not in ("tpu", "axon"))
-            return self._cluster_and_tail(gray, decim, pts, _counts, intr)
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:
             # auto: TPU backend AND the VMEM-resident kernel's working set
@@ -233,7 +247,22 @@ class TPUDetector:
             _labels, _sizes, ranks = ccl.label_components_flood(threshim)
         else:
             _labels, _sizes, ranks = ccl.label_components(threshim)
-        pts, _counts = quadfit.boundary_points(threshim, ranks, self._qcfg)
+        if self._use_fused:
+            # Pallas monotone-routing boundary compaction (the two
+            # lax.sort compactions become three small VMEM routing
+            # kernels — bit-identical outputs, ~2.4 ms/frame faster at
+            # (4, 400, 640)). Ranks still come from the XLA/flood CCL:
+            # fusing the rank epilogue into a kernel measured SLOWER
+            # (ops/ccl.py flood_ranks keeps the receipts).
+            from ros_vision_tpu.ops.frontend_pallas import boundary_compact
+            key, pack2, _counts = boundary_compact(
+                threshim, ranks.reshape(-1, dh, dw),
+                self._qcfg.max_boundary_pixels, cfg.max_points,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            pts = {"key": key, "pack2": pack2}
+        else:
+            pts, _counts = quadfit.boundary_points(threshim, ranks,
+                                                   self._qcfg)
         return self._cluster_and_tail(gray, decim, pts, _counts, intr)
 
     def _cluster_and_tail(self, gray, decim, pts, _counts, intr):

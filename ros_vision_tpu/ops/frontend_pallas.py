@@ -34,20 +34,28 @@ This module keeps the whole front half in VMEM. Two kernels per frame:
          bit-exact.
 
   boundary_compact: threshim + ranks -> compacted (key, pack2) points
-      1. per-pixel candidate bits + per-direction blob-pair keys (rolls;
-         BlobDiff semantics, apriltag_gpu.cu:226-360);
+      1. per-pixel candidate bits + per-direction blob-pair keys
+         (BlobDiff semantics, apriltag_gpu.cu:226-360) and the
+         uniform-thin routing targets, built XLA-SIDE (fused elementwise
+         + one MXU cumsum — boundary_planes_xla);
       2. MONOTONE ROUTING stream compaction — the TPU-native replacement
          for cub::DeviceSelect::If (apriltag_gpu.cu:788-802) and for the
          lax.sort compaction of ops/segments.compact: each kept element's
          output slot is a nondecreasing function of its position, so the
          permutation routes in ceil(log2(N)) masked flat-roll steps (a
-         vector op per step, ~micro-seconds, vs milliseconds for a sort);
+         vector op per step, ~micro-seconds, vs milliseconds for a sort).
+         Run as TWO <=3-plane Pallas kernels (route_planes): the original
+         one-kernel stage A (bits + thin + 5 routed planes) crashes the
+         Mosaic compile helper, while kernels at or below stage B's size
+         compile reliably (bisected round 3; mb_pallas_lottery.py);
       3. capacity overflow handled by closed-form uniform stream thinning
          (bit-identical f32 selection math to ops/segments.thin_uniform,
-         so the XLA path and this kernel keep identical semantics);
+         so the XLA path and these kernels keep identical semantics);
       4. stage B expands 4 directions per kept pixel (dir-major blocks)
          and routes again to the K-point budget; pack2/key words are
          written directly (quadfit.finish_points layout).
+      Measured (4, 400, 640) K=65536 on v5e: 1.92 ms/frame vs 4.31 for
+      the XLA boundary_points it replaces, bit-exact incl. overflow.
 
 Outputs are bit-identical to the XLA path (ccl.label_components_flood
 ranks; quadfit.boundary_points points, counts and slot order) on every
@@ -77,6 +85,13 @@ _OFFSETS = [
 ]
 # boundary emit directions, same table as ops/quadfit.py
 _DIRS = ((1, 0), (0, 1), (-1, 1), (1, 1))
+
+# Scoped-VMEM budget for the boundary kernels: XLA may place a kernel's
+# full (B, ...) outputs in VMEM (layout S(1)) when fusing, so the scoped
+# allocation SCALES WITH BATCH — the default 16 MB limit OOMs at B=16
+# (21.47 MB measured) while B<=8 fits. 64 MB covers B=32 with the
+# routing stack; v5e has 128 MB VMEM.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
 
 STRIDES = (4, 32)       # straight-chain ladder (measured best on v5e)
 DIAG_STRIDES = ()       # white-staircase diagonal chains cut sweeps 28%
@@ -455,7 +470,11 @@ def _boundary_bits(v, ranks):
 
 def _make_stage_a_kernel(h, w, br):
     """bits + thin + route emitting pixels; outputs the first BR rows of
-    the routed pm and per-dir key planes."""
+    the routed pm and per-dir key planes. (Historical: the original
+    one-kernel stage A. The Mosaic compile helper rejects it — bits +
+    thin prefix scans + a 5-plane routing loop in one program — while
+    each piece alone compiles; kept for interpret-mode reference. The
+    production path is boundary_planes_xla + _make_route_kernel.)"""
     n = h * w
     nbits_a = max(1, (n - 1).bit_length())
 
@@ -478,6 +497,89 @@ def _make_stage_a_kernel(h, w, br):
             ref[0] = plane[:br, :]
 
     return kernel
+
+
+def _make_route_kernel(h, w, br, nplanes):
+    """Pure routing kernel: route `nplanes` payload planes left by a
+    precomputed per-element distance plane `d` (holes -> invalid on plane
+    0, which must carry the <0-is-empty convention), emitting the first
+    BR rows. Sized like the proven stage-B kernel (<= 3 routed planes +
+    d), which the Mosaic helper compiles reliably — unlike the full
+    bits+thin+route stage-A program."""
+    n = h * w
+    nbits = max(1, (n - 1).bit_length())
+
+    def kernel(*refs):
+        d_ref = refs[0]
+        in_refs = refs[1:1 + nplanes]
+        out_refs = refs[1 + nplanes:]
+        planes = [r[0] for r in in_refs]
+        routed = _route(planes, d_ref[0], nbits)
+        for ref, plane in zip(out_refs, routed):
+            ref[0] = plane[:br, :]
+
+    return kernel
+
+
+def boundary_planes_xla(threshim: jnp.ndarray, ranks_img: jnp.ndarray,
+                        br: int):
+    """XLA-side stage-A plane build: boundary bits, per-direction pair
+    keys, uniform-thinned pm and the monotone routing distances — all
+    fused elementwise + one MXU cumsum (segs.thin_uniform), no sorts.
+    Returns (pm, d, [k0..k3]) as (B, H, W) int32 planes, bit-identical
+    to the in-kernel _boundary_bits/_thin_targets math."""
+    from ros_vision_tpu.ops import quadfit, segments as segs
+    b, h, w = threshim.shape
+    n = h * w
+    maskbits, keyimg = quadfit.boundary_masks(threshim, ranks_img)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    pxy = ((ys[:, None] << 11) | xs[None, :])[None] \
+        + jnp.zeros((b, h, w), jnp.int32)
+    valid_a = (maskbits & 0xF).reshape(b, n) != 0
+    keep_a, tgt_a = segs.thin_uniform(valid_a, br * w)
+    flat = jnp.arange(n, dtype=jnp.int32)[None]
+    pm = jnp.where(keep_a, ((pxy << 8) | maskbits).reshape(b, n), -1)
+    d_a = jnp.where(keep_a, flat - tgt_a, 0)
+    return (pm.reshape(b, h, w), d_a.reshape(b, h, w),
+            [keyimg[:, i] for i in range(4)])
+
+
+def route_planes(d: jnp.ndarray, planes: list, br: int,
+                 interpret: bool = False) -> list:
+    """Route (B, H, W) payload planes by the distance plane `d` in Pallas,
+    3 planes per kernel (the helper-safe size), returning (B, BR, W)
+    compacted planes. plane[0] must be the validity-bearing plane (<0 =
+    empty); it is duplicated into each kernel as the routing mask."""
+    b, h, w = planes[0].shape
+    spec = lambda sh: pl.BlockSpec((1,) + sh,  # noqa: E731
+                                   lambda i: (i,) + (0,) * len(sh),
+                                   memory_space=pltpu.VMEM)
+    outs: list = [None] * len(planes)
+    outs[0] = None
+    # first kernel routes [p0, p1, p2]; later kernels route [p0, pi, pj]
+    # and discard their duplicate p0 output
+    groups = [[0, 1, 2][:len(planes)]]
+    i = 3
+    while i < len(planes):
+        groups.append([0] + list(range(i, min(i + 2, len(planes)))))
+        i += 2
+    for gi, grp in enumerate(groups):
+        nplanes = len(grp)
+        routed = pl.pallas_call(
+            _make_route_kernel(h, w, br, nplanes),
+            grid=(b,),
+            in_specs=[spec((h, w))] * (1 + nplanes),
+            out_specs=(spec((br, w)),) * nplanes,
+            out_shape=(jax.ShapeDtypeStruct((b, br, w), jnp.int32),)
+            * nplanes,
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )(d, *[planes[j] for j in grp])
+        for slot, j in enumerate(grp):
+            if outs[j] is None:
+                outs[j] = routed[slot]
+    return outs
 
 
 def _make_stage_b_kernel(w, br, k_cap, out_rows):
@@ -547,19 +649,15 @@ def boundary_compact(threshim: jnp.ndarray, ranks: jnp.ndarray,
     spec = lambda sh: pl.BlockSpec((1,) + sh,  # noqa: E731
                                    lambda i: (i,) + (0,) * len(sh),
                                    memory_space=pltpu.VMEM)
-    # two pallas calls: stage A (bits + pixel routing) and stage B
-    # (candidate expansion + point routing) — one kernel with both
-    # routing loops exceeds the Mosaic compile helper's program budget
-    # (bisected; each stage alone compiles). The crossing is the 5
-    # routed (BR, W) planes.
-    planes = pl.pallas_call(
-        _make_stage_a_kernel(h, w, br),
-        grid=(b,),
-        in_specs=[spec((h, w)), spec((h, w))],
-        out_specs=(spec((br, w)),) * 5,
-        out_shape=(jax.ShapeDtypeStruct((b, br, w), jnp.int32),) * 5,
-        interpret=interpret,
-    )(threshim, ranks)
+    # Hybrid split sized for the Mosaic compile helper (measured r3: the
+    # one-kernel stage A — bits + thin + 5-plane routing — crashes it
+    # consistently, while the <=3-routed-plane kernels and stage B
+    # compile reliably): the stage-A plane build runs XLA-side (fused
+    # elementwise + one MXU cumsum, no sorts), the pixel compaction runs
+    # as TWO 3-plane routing kernels, and stage B (candidate expansion +
+    # point routing) stays one kernel.
+    pm, d_a, keys = boundary_planes_xla(threshim, ranks, br)
+    planes = route_planes(d_a, [pm] + keys, br, interpret=interpret)
     key, pack2, cnt = pl.pallas_call(
         _make_stage_b_kernel(w, br, k_cap, out_rows),
         grid=(b,),
@@ -570,6 +668,7 @@ def boundary_compact(threshim: jnp.ndarray, ranks: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((b, out_rows, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, out_rows, w), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1, 1), jnp.int32)),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(*planes)
     kw = out_rows * w

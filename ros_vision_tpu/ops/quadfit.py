@@ -384,7 +384,12 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     iyc = jnp.clip(iy, 1, h2 - 2)
 
     # gradient magnitude weights: precompute the 2-channel gradient image
-    # (elementwise) and fetch both channels with ONE slice-gather
+    # (elementwise) and fetch both channels with ONE slice-gather.
+    # (Folding sqrt(gx^2+gy^2) into the image for a 1-channel gather was
+    # measured SLOWER — 8.84 vs 8.68 ms/frame cluster total at K=65536:
+    # the fresh f32 magnitude plane costs more than the halved gather
+    # saves. Batching the three pref_at gathers into one concatenated-
+    # index gather was worse still, +0.7 ms/frame.)
     dimg = decim.astype(jnp.float32)
     gximg = jnp.pad(dimg[:, :, 2:] - dimg[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
     gyimg = jnp.pad(dimg[:, 2:, :] - dimg[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
@@ -400,6 +405,9 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     pref = scan.segmented_cumsum_from_starts(mom, start)
 
     # helpers: prefix lookup by position within this point's segment
+    # (a single concatenated-index gather for the three lookups was
+    # measured SLOWER on v5e — +0.7 ms/frame at K=65536: the (B, 3K)
+    # index/output materialization beats three fusable gathers)
     def pref_at(position):
         """Inclusive prefix at segment-relative position (clamped >= 0);
         returns 0 for position < 0."""
@@ -546,7 +554,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     seg_sz = count
 
     def pref_at_seg(position):
-        """(B, NSEG1, 10) segment-relative position -> prefix (…, 6)."""
+        """(B, NSEG1, Li) segment-relative position -> prefix (…, 6)."""
         posc = jnp.clip(position, 0, k - 1)
         gidx = jnp.clip(seg_starts[..., None] + posc, 0, k - 1)
         flatidx = gidx.reshape(b, -1)
@@ -555,8 +563,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
 
     pb = pref_at_seg(maxima)                    # prefix at maxima pos
     pa = pref_at_seg(maxima - 1)                # prefix just before
-    tot_seg = pref_at_seg(jnp.broadcast_to(
-        (seg_sz - 1)[..., None], maxima.shape))[:, :, :1, :]  # (B,NSEG1,1,6)
+    tot_seg = pref_at_seg((seg_sz - 1)[..., None])   # (B, NSEG1, 1, 6)
 
     ca = _COMBOS  # slot tuples
     a_idx = jnp.asarray([a for a, _ in itertools.combinations(range(10), 2)])

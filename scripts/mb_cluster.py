@@ -49,12 +49,15 @@ def main():
     g = jnp.asarray(np.broadcast_to(img, (B, 800, 1280)).copy())
     qcfg = det._qcfg
 
-    decim = thr.decimate2(g)
-    t, _ = thr.adaptive_threshold(decim)
-    _, _, ranks = ccl.label_components_flood(t)
-    pts, _c = quadfit.boundary_points(t, ranks, qcfg)
-    pts = jax.block_until_ready(jax.tree_util.tree_map(jnp.asarray, pts))
-    decim = jax.block_until_ready(decim)
+    @jax.jit
+    def setup(g):
+        decim = thr.decimate2(g)
+        t, _ = thr.adaptive_threshold(decim)
+        _, _, ranks = ccl.label_components_flood(t)
+        pts, _c = quadfit.boundary_points(t, ranks, qcfg)
+        return decim, pts
+
+    decim, pts = jax.block_until_ready(setup(g))
 
     prev = 0.0
     for stop in ["tables", "theta", "errs", "peaks", None]:
