@@ -87,6 +87,11 @@ class DetectorConfig:
     # (h*w <= 2^18), AND a probe compile of the kernels succeeds — the
     # Mosaic compile helper has crashed nondeterministically on larger
     # kernels, so auto falls back to the XLA path instead of failing.
+    use_pallas_sort: bool | None = None   # VMEM bitonic network
+    # (ops/sort_pallas.py) for the three (B, K) cluster_and_fit sorts
+    # instead of lax.sort — identical outputs (all operands are keys).
+    # None = auto: TPU backend AND a probe compile of the sort kernels
+    # succeeds (same Mosaic-helper insurance as use_fused_frontend).
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -170,6 +175,11 @@ class TPUDetector:
         self._qcfg_narrow = dataclasses.replace(
             self._qcfg, max_points=self._active_points)
         self._use_fused = self._resolve_fused_frontend()
+        if self._resolve_pallas_sort():
+            self._qcfg = dataclasses.replace(self._qcfg,
+                                             use_pallas_sort=True)
+            self._qcfg_narrow = dataclasses.replace(self._qcfg_narrow,
+                                                    use_pallas_sort=True)
         self._fn = jax.jit(self._detect_device)
         self._fn_packed = jax.jit(
             lambda g, i: pack_outputs(self._detect_device(g, i)))
@@ -199,6 +209,36 @@ class TPUDetector:
                     jax.ShapeDtypeStruct((2, dh, dw), jnp.int32)).compile()
             return True
         except Exception:  # helper crash -> XLA fallback, never fatal
+            return False
+
+    def _resolve_pallas_sort(self) -> bool:
+        """Resolve use_pallas_sort=None: TPU backend + a probe compile of
+        the bitonic kernels at BOTH cluster shapes (full K and the narrow
+        active-points K — different network sizes are separate Mosaic
+        programs) in both key arities."""
+        ups = self.config.use_pallas_sort
+        if ups is not None:
+            return ups
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        try:
+            from ros_vision_tpu.ops.sort_pallas import sort_tpu
+
+            def probe(a, b, an, bn):
+                return (sort_tpu([a, b], num_keys=2),
+                        sort_tpu([a], num_keys=1),
+                        sort_tpu([a, b, a], num_keys=3),
+                        sort_tpu([an, bn], num_keys=2),
+                        sort_tpu([an], num_keys=1),
+                        sort_tpu([an, bn, an], num_keys=3))
+
+            s = lambda k: jax.ShapeDtypeStruct((2, k), jnp.int32)  # noqa
+            jax.jit(probe).lower(s(self._qcfg.max_points),
+                                 s(self._qcfg.max_points),
+                                 s(self._active_points),
+                                 s(self._active_points)).compile()
+            return True
+        except Exception:  # helper crash -> lax.sort, never fatal
             return False
 
     def default_intrinsics(self, batch: int) -> np.ndarray:

@@ -70,6 +70,11 @@ class QuadFitConfig:
     tag_width: int = 4           # min tag width in decimated px (8/2 for 36h11)
     normal_border: bool = True
     reversed_border: bool = False
+    use_pallas_sort: bool = False   # VMEM bitonic network for the three
+    # (B, K) sorts in cluster_and_fit (ops/sort_pallas.py) instead of
+    # lax.sort. Same outputs (all operands are keys, so the network's
+    # instability is unobservable); resolved by TPUDetector via a probe
+    # compile like use_fused_frontend.
 
     @property
     def max_boundary_pixels(self) -> int:
@@ -241,10 +246,23 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     return finish_points(pts["pgd"], pts["key"], w), counts
 
 
-def _sort_by(keys, payloads, num_keys):
-    ops = list(keys) + list(payloads)
-    out = jax.lax.sort(ops, dimension=1, num_keys=num_keys, is_stable=True)
-    return out[:len(keys)], out[len(keys):]
+def _make_sorters(cfg: QuadFitConfig):
+    """(sort1, sort2, sort3) over (B, K) int32 rows: lax.sort, or the
+    Pallas bitonic network when cfg.use_pallas_sort (bit-identical here —
+    every operand is a key, so ties mean identical tuples)."""
+    if cfg.use_pallas_sort:
+        from ros_vision_tpu.ops.sort_pallas import sort_tpu
+        interp = jax.default_backend() not in ("tpu", "axon")
+        return (lambda a: sort_tpu([a], num_keys=1, interpret=interp)[0],
+                lambda a, b: sort_tpu([a, b], num_keys=2,
+                                      interpret=interp),
+                lambda a, b, c: sort_tpu([a, b, c], num_keys=3,
+                                         interpret=interp))
+    return (lambda a: jax.lax.sort([a], dimension=1, num_keys=1)[0],
+            lambda a, b: jax.lax.sort([a, b], dimension=1, num_keys=2,
+                                      is_stable=True),
+            lambda a, b, c: jax.lax.sort([a, b, c], dimension=1,
+                                         num_keys=3, is_stable=True))
 
 
 def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
@@ -269,10 +287,11 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     nseg = cfg.max_segments
     nseg1 = nseg + 1
     i_global = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
+    sort1, sort2, sort3 = _make_sorters(cfg)
 
     # ---- sort by (blob-pair key, x-major payload): segment ids + exact
     #      xmin/xmax for free (first/last element of each segment) ---------
-    (key_s, pack2), _ = _sort_by([pts["key"], pts["pack2"]], [], num_keys=2)
+    key_s, pack2 = sort2(pts["key"], pts["pack2"])
     x2, y2, gx, gy = unpack_payload(pack2)
     valid_pt = key_s < KEY_INVALID
     seg = segs.segment_ids_from_sorted_keys(key_s, valid=valid_pt,
@@ -297,8 +316,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     # (K, NSEG) select+min sweep does ~134M VPU ops/frame while the
     # radix sort is bandwidth-bound. Kernel kept in gather_pallas for
     # smaller-K callers.)
-    ykey = jax.lax.sort([jnp.where(valid_pt, seg, nseg) << 11 | y2],
-                        dimension=1, num_keys=1)[0]
+    ykey = sort1(jnp.where(valid_pt, seg, nseg) << 11 | y2)
     ymin = segs.take1(ykey, jnp.clip(start_tab, 0, k - 1)) & 0x7FF
     ymax = segs.take1(ykey, jnp.clip(end_tab, 0, k - 1)) & 0x7FF
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
@@ -349,7 +367,7 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
                         .astype(jnp.int32), 0, 2 ** 20 - 1)
     sort_key = (jnp.where(valid_pt, seg, nseg) << 20) | theta_fx
     pack3 = (x2 << 11) | y2
-    (sort_key_s, pack3), _ = _sort_by([sort_key, pack3], [], num_keys=2)
+    sort_key_s, pack3 = sort2(sort_key, pack3)
     seg = sort_key_s >> 20
     x2 = pack3 >> 11
     y2 = pack3 & 0x7FF
@@ -516,9 +534,20 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     #      10 carries the 11th-peak error as the strictly-greater keep
     #      threshold (apriltag semantics). No table scatters. --------------
     peak_seg = jnp.where(is_peak, seg, nseg)
-    (pseg_s, negerr_s), (ppos_s,) = _sort_by([peak_seg, -errs], [pos],
-                                             num_keys=2)
-    perr_s = -negerr_s
+    if cfg.use_pallas_sort:
+        # stable-sort-equivalent int formulation: the error's f32 bit
+        # pattern is order-isomorphic for nonnegative errors, and pos as
+        # a third key reproduces the stable payload order exactly (pos
+        # follows i_global within a segment, and cross-segment ties are
+        # impossible — the segment id is the primary key)
+        errbits = jax.lax.bitcast_convert_type(errs, jnp.int32)
+        pseg_s, negb_s, ppos_s = sort3(peak_seg, -errbits, pos)
+        perr_s = jax.lax.bitcast_convert_type(-negb_s, jnp.float32)
+    else:
+        pseg_s, negerr_s, ppos_s = jax.lax.sort(
+            [peak_seg, -errs, pos], dimension=1, num_keys=2,
+            is_stable=True)
+        perr_s = -negerr_s
     pk_count = gp.histogram(peak_seg, nseg1)
     pkf = pk_count.astype(jnp.float32)
     pstart = (cumsum_mxu(pkf) - pkf).astype(jnp.int32)
