@@ -47,15 +47,6 @@ _I32_MAX = jnp.int32(2 ** 31 - 1)
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
 
 
-def _partner(x, q, r, rows_m_q, lanes_m_r, lower):
-    """Value at flat index i XOR s, s = q*128 + r with exactly one of
-    (q, r) nonzero. pltpu.roll(x, p) gives out[i] = in[i - p] per axis;
-    `lower` marks elements whose bit j is 0 (partner = i + s)."""
-    fwd = pltpu.roll(pltpu.roll(x, rows_m_q, axis=0), lanes_m_r, axis=1)
-    bwd = pltpu.roll(pltpu.roll(x, q, axis=0), r, axis=1)
-    return jnp.where(lower, fwd, bwd)
-
-
 def _make_sort_kernel(nrows, nops, num_keys):
     n = nrows * _LANES
     log2n = (n - 1).bit_length()
@@ -67,19 +58,17 @@ def _make_sort_kernel(nrows, nops, num_keys):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (nrows, _LANES), 1)
         flat = rows * _LANES + lanes
 
-        def inner(t, carry):
-            k, planes = carry
-            j = k - 1 - t
-            s = jnp.int32(1) << j
-            q = s >> 7
-            r = s & (_LANES - 1)
-            rows_m_q = (nrows - q) % nrows
-            lanes_m_r = (_LANES - r) % _LANES
+        def exchange(k, j, planes, partner_of):
+            """Compare-exchange with the i XOR 2^j partner; partner_of
+            maps a plane to its partner plane via TWO dynamic rotates +
+            a bit-j select (the j<7 / j>=7 phase split keeps the rotate
+            on a single axis — a fused q,r flat roll would spend four
+            dynamic rotates per plane because Mosaic cannot fold a
+            rotate by a TRACED zero)."""
             lower = ((flat >> j) & 1) == 0
             asc = ((flat >> k) & 1) == 0
             want_min = lower == asc
-            part = [_partner(p, q, r, rows_m_q, lanes_m_r, lower)
-                    for p in planes]
+            part = [partner_of(p, lower) for p in planes]
             # lexicographic strict less-than over the key planes, both ways
             o_lt = part[num_keys - 1] < planes[num_keys - 1]
             s_lt = planes[num_keys - 1] < part[num_keys - 1]
@@ -88,10 +77,37 @@ def _make_sort_kernel(nrows, nops, num_keys):
                 o_lt = (part[kk] < planes[kk]) | (eq & o_lt)
                 s_lt = (planes[kk] < part[kk]) | (eq & s_lt)
             take = jnp.where(want_min, o_lt, s_lt)
-            return k, [jnp.where(take, o, p) for o, p in zip(part, planes)]
+            return [jnp.where(take, o, p) for o, p in zip(part, planes)]
+
+        def inner_rows(t, carry):
+            k, planes = carry
+            j = k - 1 - t                       # j >= 7: sublane rotate
+            q = (jnp.int32(1) << j) >> 7
+
+            def partner_of(p, lower):
+                return jnp.where(lower,
+                                 pltpu.roll(p, (nrows - q) % nrows, axis=0),
+                                 pltpu.roll(p, q, axis=0))
+
+            return k, exchange(k, j, planes, partner_of)
+
+        def inner_lanes(t, carry):
+            k, planes = carry
+            j = jnp.minimum(k, 7) - 1 - t       # j < 7: lane rotate
+            r = jnp.int32(1) << j
+
+            def partner_of(p, lower):
+                return jnp.where(lower,
+                                 pltpu.roll(p, _LANES - r, axis=1),
+                                 pltpu.roll(p, r, axis=1))
+
+            return k, exchange(k, j, planes, partner_of)
 
         def outer(k, planes):
-            _, planes = jax.lax.fori_loop(0, k, inner, (k, planes))
+            _, planes = jax.lax.fori_loop(0, jnp.maximum(k - 7, 0),
+                                          inner_rows, (k, planes))
+            _, planes = jax.lax.fori_loop(0, jnp.minimum(k, 7),
+                                          inner_lanes, (k, planes))
             return planes
 
         planes = jax.lax.fori_loop(1, log2n + 1, outer, planes)
