@@ -139,40 +139,57 @@ def main():
          simple_square_corners(1000, 600, 60, angle_deg=50)],
         1280, 800, noise_sigma=1.0)
 
-    det = TPUDetector(DetectorConfig(
-        width=1280, height=800, fx=900.0, fy=900.0, cx=640.0, cy=400.0,
-        estimate_pose=True))
-
     import jax.numpy as jnp
 
-    # correctness gate: all 4 tags must decode; report the outcome in the
-    # JSON rather than crashing the bench harness
-    res = det.detect(img)
-    ids = sorted(d.tag_id for d in res)
-    tags_ok = ids == [0, 42, 100, 311]
-    if not tags_ok:
-        print(f"WARNING: detection regression: {ids}", file=sys.stderr)
+    # The probe compiles in TPUDetector.__init__ gate the Pallas kernel
+    # paths, but the Mosaic compile helper has crashed NONDETERMINISTICALLY
+    # across sessions (CLAUDE.md) — a probe can pass and the full-detector
+    # compile still die. Never lose the headline number to that: retry the
+    # whole sweep once with the Pallas paths forced off.
+    for attempt in ("auto", "conservative"):
+        try:
+            kw = {} if attempt == "auto" else dict(
+                use_fused_frontend=False, use_pallas_sort=False)
+            det = TPUDetector(DetectorConfig(
+                width=1280, height=800, fx=900.0, fy=900.0, cx=640.0,
+                cy=400.0, estimate_pose=True, **kw))
 
-    best = None
-    points = {}
-    for batch in batches:
-        g = jnp.asarray(np.broadcast_to(img, (batch, 800, 1280)).copy())
-        intr = jnp.asarray(det.default_intrinsics(batch))
-        out = det._fn(g, intr)                       # compile + warm
-        np.asarray(out["ok"]).sum()
+            # correctness gate: all 4 tags must decode; report the outcome
+            # in the JSON rather than crashing the bench harness
+            res = det.detect(img)
+            ids = sorted(d.tag_id for d in res)
+            tags_ok = ids == [0, 42, 100, 311]
+            if not tags_ok:
+                print(f"WARNING: detection regression: {ids}",
+                      file=sys.stderr)
 
-        t0 = time.time()
-        outs = [det._fn(g, intr) for _ in range(iters)]
-        for o in outs:
-            o["ok"].block_until_ready()
-        _ = np.asarray(outs[-1]["ok"]).sum()
-        _ = np.asarray(outs[0]["ok"]).sum()
-        dt = (time.time() - t0) / iters
-        fps = batch / dt
-        points[batch] = {"fps": round(fps, 2),
-                         "latency_ms": round(dt * 1e3, 2)}
-        if best is None or fps > best[1]:
-            best = (batch, fps, dt)
+            best = None
+            points = {}
+            for batch in batches:
+                g = jnp.asarray(np.broadcast_to(img,
+                                                (batch, 800, 1280)).copy())
+                intr = jnp.asarray(det.default_intrinsics(batch))
+                out = det._fn(g, intr)                   # compile + warm
+                np.asarray(out["ok"]).sum()
+
+                t0 = time.time()
+                outs = [det._fn(g, intr) for _ in range(iters)]
+                for o in outs:
+                    o["ok"].block_until_ready()
+                _ = np.asarray(outs[-1]["ok"]).sum()
+                _ = np.asarray(outs[0]["ok"]).sum()
+                dt = (time.time() - t0) / iters
+                fps = batch / dt
+                points[batch] = {"fps": round(fps, 2),
+                                 "latency_ms": round(dt * 1e3, 2)}
+                if best is None or fps > best[1]:
+                    best = (batch, fps, dt)
+            break
+        except Exception as e:
+            if attempt == "conservative":
+                raise
+            print(f"WARNING: auto-config sweep failed ({e}); retrying "
+                  "with Pallas kernel paths off", file=sys.stderr)
 
     batch, fps, dt = best
     out = {
