@@ -75,6 +75,11 @@ class QuadFitConfig:
     # lax.sort. Same outputs (all operands are keys, so the network's
     # instability is unobservable); resolved by TPUDetector via a probe
     # compile like use_fused_frontend.
+    route_compaction: bool = False  # pure-XLA monotone routing
+    # (segments.compact_route) for boundary_points' two stream
+    # compactions instead of lax.sort — bit-identical outputs; serves
+    # frames the Pallas boundary kernels can't take (non-128-multiple
+    # lane width, e.g. 1080p) and the helper-crash fallback.
 
     @property
     def max_boundary_pixels(self) -> int:
@@ -214,12 +219,17 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
     br = boundary_block_rows(cfg.max_boundary_pixels, w)
     p_cap = br * w
     valid_a = (maskbits & 0xF).reshape(b, n) != 0
-    keep_a, _ = segs.thin_uniform(valid_a, p_cap)
+    keep_a, tgt_a = segs.thin_uniform(valid_a, p_cap)
     # pm = (py<<11|px)<<8 | maskbits is strictly increasing over pixels,
-    # so stage-A compaction is a keys-only sort (no payload word)
-    pm, _ = segs.compact_monotone(
-        keep_a, ((pxy << 8) | maskbits).reshape(b, n), p_cap,
-        jnp.int32(-1))
+    # so stage-A compaction is a keys-only sort (no payload word) — or
+    # the sort-free monotone routing chain when route_compaction is on
+    pm_vals = ((pxy << 8) | maskbits).reshape(b, n)
+    if cfg.route_compaction:
+        pm = segs.compact_route(keep_a, tgt_a, {"pm": pm_vals}, p_cap,
+                                {"pm": jnp.int32(-1)})[0]["pm"]
+    else:
+        pm, _ = segs.compact_monotone(keep_a, pm_vals, p_cap,
+                                      jnp.int32(-1))
     pvalid = pm >= 0
     pix = jnp.where(pvalid, ((pm >> 19) & 0x7FF) * w + ((pm >> 8) & 0x7FF),
                     0)
@@ -238,11 +248,13 @@ def boundary_points(threshim, ranks, cfg: QuadFitConfig):
             | (gbits << 2) | jnp.arange(4, dtype=jnp.int32)[None, :, None])
     keyp = jnp.take_along_axis(keyimg.reshape(b, 4, n),
                                pix[:, None, :], axis=2)  # (B, 4, P)
-    keep_b, _ = segs.thin_uniform(dvalid.reshape(b, -1), k)
-    pts, counts = segs.compact(
-        keep_b,
-        {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)},
-        k, {"pgd": jnp.int32(-1), "key": jnp.int32(KEY_INVALID)})
+    keep_b, tgt_b = segs.thin_uniform(dvalid.reshape(b, -1), k)
+    payload = {"pgd": cand.reshape(b, -1), "key": keyp.reshape(b, -1)}
+    fills = {"pgd": jnp.int32(-1), "key": jnp.int32(KEY_INVALID)}
+    if cfg.route_compaction:
+        pts, counts = segs.compact_route(keep_b, tgt_b, payload, k, fills)
+    else:
+        pts, counts = segs.compact(keep_b, payload, k, fills)
     return finish_points(pts["pgd"], pts["key"], w), counts
 
 

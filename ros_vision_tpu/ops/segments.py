@@ -70,6 +70,45 @@ def compact_monotone(valid: jnp.ndarray, values: jnp.ndarray, k: int,
     return jnp.where(slot_ok, s, fill), counts
 
 
+def compact_route(keep: jnp.ndarray, tgt: jnp.ndarray, payload: dict,
+                  k: int, fill: dict):
+    """Monotone-routing stream compaction in pure XLA: move kept element
+    i to output slot tgt[i], where (keep, tgt) come from thin_uniform so
+    targets are strictly increasing over kept elements. Bit-identical
+    outputs to compact(keep, payload, k, fill) — same slots, same order,
+    same counts/fill handling — in ceil(log2(M)) static-shift roll steps
+    (fused elementwise selects) instead of a stable lax.sort, the same
+    monotone-routing scheme as the Pallas boundary kernels
+    (frontend_pallas._route) but HBM-resident and shape-unconstrained
+    (the kernels need a 128-multiple lane width; 1080p frames don't
+    have one). Returns (dict of (B, K) arrays, counts (B,))."""
+    b, m = keep.shape
+    counts = jnp.minimum(keep.sum(axis=1), k)
+    pos = jnp.arange(m, dtype=jnp.int32)[None]
+    # d carries both the remaining leftward distance and validity (<0 =
+    # empty slot); payloads ride along and holes stay garbage under d<0
+    d = jnp.where(keep, pos - tgt, -1)
+    planes = [payload[kk] for kk in payload]
+    nbits = max(1, (m - 1).bit_length())
+    for kb in range(nbits):
+        s = 1 << kb
+        inc_d = jnp.roll(d, -s, axis=1)
+        take = (inc_d >= 0) & (((inc_d >> kb) & 1) == 1) & (pos < m - s)
+        stay = (d >= 0) & (((d >> kb) & 1) == 0)
+        d = jnp.where(take, inc_d, jnp.where(stay, d, -1))
+        planes = [jnp.where(take, jnp.roll(p, -s, axis=1), p)
+                  for p in planes]
+    slot_ok = (jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None])
+    out = {}
+    for kk, p in zip(payload, planes):
+        arr = p[:, :k]
+        if m < k:
+            arr = jnp.pad(arr, ((0, 0), (0, k - m)),
+                          constant_values=fill[kk])
+        out[kk] = jnp.where(slot_ok, arr, fill[kk])
+    return out, counts
+
+
 def thin_uniform(valid: jnp.ndarray, k: int):
     """Uniform stream thinning to a capacity: returns (keep, slot2) where
     keep ⊆ valid selects ≤ k-2 elements spread EVENLY over the valid
