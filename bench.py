@@ -127,7 +127,39 @@ def streaming_bench(img, duration_s: float = 12.0):
         nt_server.close()
 
 
+def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 90.0):
+    """Block until the JAX default backend initializes, probing in a
+    SUBPROCESS so a wedged axon relay (backend init that hangs instead of
+    erroring — observed on the relay tunnel) can't hang this process
+    forever. Retries for up to max_wait_s, then raises with a clear
+    message so the driver records an explicit failure instead of a hang."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                return r.stdout.strip()
+            err = r.stderr.strip().splitlines()[-1:] or ["?"]
+            msg = f"probe exit {r.returncode}: {err[0]}"
+        except subprocess.TimeoutExpired:
+            msg = f"backend init hung >{probe_timeout_s:.0f}s (relay down?)"
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"JAX backend unreachable after {attempt} probes / "
+                f"{max_wait_s:.0f}s: {msg}")
+        print(f"WARNING: backend probe {attempt} failed ({msg}); retrying",
+              file=sys.stderr)
+        time.sleep(min(60.0, max(5.0, probe_timeout_s / 3)))
+
+
 def main():
+    wait_for_backend()
     batches = [int(x) for x in
                os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))

@@ -68,7 +68,8 @@ def _rot_xyz(angles_deg):
     return rz @ ry @ rx
 
 
-_CAM2ROBOT = jnp.asarray(rotation_utils.camera_to_robot(), jnp.float32)
+# np array: a module-level jnp constant would force backend init at import
+_CAM2ROBOT = np.asarray(rotation_utils.camera_to_robot(), np.float32)
 
 
 def solve_extrinsics(frameset: dict, guesses: dict,

@@ -27,8 +27,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(2 ** 30)
+_BIG = np.int32(2 ** 30)   # np scalar: a jnp constant would force backend
+# initialization at import time (the axon relay may be unreachable)
 
 MAX_BLOBS = 2048          # dense big-blob id space (points.h:171 kMaxBlobs)
 _SIZE_BITS = 20           # sizes < 2^20 (decimated pixels; w*h < 2^22 cap)

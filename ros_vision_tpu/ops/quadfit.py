@@ -44,7 +44,9 @@ WEIGHT_SCALE = 1.0 / 256.0
 N_PAIRS = 45
 N_COMBOS = 210
 
-_BIGI = jnp.int32(2 ** 30)
+_BIGI = np.int32(2 ** 30)   # np scalar: a jnp constant would force backend
+# initialization at import time (the axon relay may be unreachable) and
+# bake a device buffer into the module
 
 # static tables: pair index for (a < b) slot pairs; combos in the reference's
 # lexicographic enumeration order (m0 outermost — argmin tie-breaking then
@@ -93,7 +95,7 @@ class QuadFitConfig:
 # <=2048 blob ranks we fit the pair key and the coordinate payload in one
 # int32 each)
 RANK_BITS = 11                   # 2048 blobs (points.h:171 kMaxBlobs)
-KEY_INVALID = jnp.int32(1) << (2 * RANK_BITS)
+KEY_INVALID = np.int32(1 << (2 * RANK_BITS))
 
 
 def pack_payload(x2, y2, gx, gy):

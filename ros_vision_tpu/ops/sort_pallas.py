@@ -36,11 +36,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_I32_MAX = jnp.int32(2 ** 31 - 1)
+_I32_MAX = np.int32(2 ** 31 - 1)  # np scalar: no import-time backend init
 
 # same scoped-VMEM note as frontend_pallas: XLA may place the batched
 # outputs in VMEM when fusing, so the limit must scale past B=8
