@@ -31,14 +31,18 @@ from ros_vision_tpu.apriltag.families import TagFamily
 QUAD_DECIMATE = 2
 DECODE_SHARPENING = 0.25
 MAX_HAMMING = 2
-REFINE_ALPHA_SAMPLES = 64     # static superset; per edge the reference's
-# length-adaptive count max(16, edge_len/8) (apriltag_detect.cu:360) is
-# realized by masking samples beyond each edge's own count. 64 covers
-# edges up to 512 full-res px exactly (1080p tags run 300-500 px edges);
-# longer edges cap at 64 samples (spacing grows past the reference's
-# ~8 px, tolerance-tested). The sample grid sits in the decode-gated
-# narrow tail, so doubling it from 32 costs only the <= max_active_quads
-# screened survivors.
+REFINE_ALPHA_TIERS = (32, 64, 128)   # static sample-grid supersets; per
+# edge the reference's length-adaptive count max(16, edge_len/8)
+# (apriltag_detect.cu:360) is realized by masking samples beyond each
+# edge's own count. A lax.switch picks the smallest tier covering the
+# longest valid edge: 32 -> 256 full-res px, 64 -> 512 px (the 1080p tag
+# regime, 300-500 px edges), 128 -> 1024 px (a tag filling a 1080p frame).
+# Beyond 1024 px the count caps (spacing grows past the reference's ~8 px;
+# no capturable tag is that large at the supported resolutions). The
+# sample grid sits in the decode-gated narrow tail, so the wide tiers
+# cost only the <= max_active_quads screened survivors, and only on
+# frames that actually contain such an edge.
+REFINE_ALPHA_SAMPLES = REFINE_ALPHA_TIERS[-1]
 REFINE_NORMAL_STEPS = 25      # range ±(quad_decimate+1), step 0.25 -> 25
 
 
@@ -141,21 +145,21 @@ def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
     refined corners.
 
     The static sample grid is length-gated: edges <= 256 px need at most
-    32 of the 64 superset slots (the mask zeroes the rest, so the
-    32-sample branch is bit-identical there), and the masked-but-gathered
-    extra slots cost ~2 ms/frame on the relay — a lax.cond picks the
-    narrow grid whenever every valid quad's edges fit."""
+    32 of the superset slots (the mask zeroes the rest, so every tier is
+    bit-identical where it covers), and the masked-but-gathered extra
+    slots cost ~2 ms/frame on the relay — a lax.switch picks the
+    smallest REFINE_ALPHA_TIERS grid covering the longest valid edge."""
     pa_ = corners
     pb_ = jnp.roll(corners, -1, axis=2)
     mag_ = jnp.sqrt((pb_[..., 1] - pa_[..., 1]) ** 2
                     + (pb_[..., 0] - pa_[..., 0]) ** 2)
     longest = jnp.max(jnp.where(quad_valid[..., None], mag_, 0.0))
-    return jax.lax.cond(
-        longest <= 8.0 * 32,
-        lambda: _refine_edges_core(gray, corners, quad_valid, intr, dist,
-                                   32),
-        lambda: _refine_edges_core(gray, corners, quad_valid, intr, dist,
-                                   REFINE_ALPHA_SAMPLES))
+    tier = sum((longest > 8.0 * n).astype(jnp.int32)
+               for n in REFINE_ALPHA_TIERS[:-1])
+    return jax.lax.switch(
+        tier,
+        [functools.partial(_refine_edges_core, gray, corners, quad_valid,
+                           intr, dist, n) for n in REFINE_ALPHA_TIERS])
 
 
 def _refine_edges_core(gray, corners, quad_valid, intr, dist,

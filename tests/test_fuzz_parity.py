@@ -167,3 +167,29 @@ def test_long_edge_refine_parity():
     dp = float(np.abs(np.asarray(t[0].pose_t)
                       - np.asarray(o[0].pose_t)).max())
     assert dp < 5e-3, dp
+
+
+def test_very_long_edge_refine_parity():
+    """Edges > 512 full-res px overflow the 64-sample tier; the 128-sample
+    tier covers the reference's max(16, len/8) exactly up to 1024 px. A
+    tag filling most of a 1280x800 production frame (~680 px edges) must
+    match the uncapped f64 oracle's corners tightly."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    bw, bh = 1280, 800
+    det = TPUDetector(DetectorConfig(
+        width=bw, height=bh, max_points=65536, max_segments=256,
+        max_quads=16, fx=900.0, fy=900.0, cx=640.0, cy=400.0,
+        estimate_pose=True))
+    oracle = OracleDetector(fx=900.0, fy=900.0, cx=640.0, cy=400.0,
+                            estimate_pose=True)
+    img, _ = render_scene(
+        [29], [simple_square_corners(640, 400, 340, angle_deg=8.0)],
+        bw, bh, noise_sigma=1.0, seed=9)
+    t = det.detect(img)
+    o = oracle.detect(img).detections
+    assert [d.tag_id for d in t] == [d.tag_id for d in o] == [29]
+    dc = float(np.abs(t[0].corners - o[0].corners).max())
+    assert dc < 0.1, dc
+    dp = float(np.abs(np.asarray(t[0].pose_t)
+                      - np.asarray(o[0].pose_t)).max())
+    assert dp < 5e-3, dp
