@@ -24,6 +24,16 @@ def main(argv=None):
     ap.add_argument("--tag-size", type=float, default=0.1651)
     args = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS even under the axon sitecustomize, which
+    # re-registers the TPU plugin over the env var (CLAUDE.md): the
+    # config update after import is the reliable pin — without it,
+    # "JAX_PLATFORMS=cpu detect_demo" touches the relay chip (and hangs
+    # whenever the relay tunnel is wedged)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import cv2
     from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
     from ros_vision_tpu.runtime.vision_node import VisionNode
