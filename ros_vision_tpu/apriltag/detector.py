@@ -92,6 +92,14 @@ class DetectorConfig:
     # instead of lax.sort — identical outputs (all operands are keys).
     # None = auto: TPU backend AND a probe compile of the sort kernels
     # succeeds (same Mosaic-helper insurance as use_fused_frontend).
+    route_compaction: bool | None = None   # pure-XLA monotone-routing
+    # stream compaction (ops/segments.compact_route) for the two
+    # boundary_points compactions instead of lax.sort — bit-identical
+    # outputs, shape-unconstrained (serves 1080p frames the Pallas
+    # boundary kernels can't take). None = auto: resolves to False until
+    # the roll chain is measured faster than the sorts on chip
+    # (scripts/mb_sort.py bench_route is the probe; flip the auto rule
+    # with the measurement in hand).
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -180,6 +188,12 @@ class TPUDetector:
                                              use_pallas_sort=True)
             self._qcfg_narrow = dataclasses.replace(self._qcfg_narrow,
                                                     use_pallas_sort=True)
+        if config.route_compaction:   # None (auto) resolves to False for
+            # now — see the DetectorConfig field comment
+            self._qcfg = dataclasses.replace(self._qcfg,
+                                             route_compaction=True)
+            self._qcfg_narrow = dataclasses.replace(self._qcfg_narrow,
+                                                    route_compaction=True)
         self._fn = jax.jit(self._detect_device)
         self._fn_packed = jax.jit(
             lambda g, i: pack_outputs(self._detect_device(g, i)))

@@ -78,3 +78,27 @@ def test_boundary_points_route_parity(max_points):
     for kk in base_pts:
         np.testing.assert_array_equal(base_pts[kk], got_pts[kk],
                                       err_msg=kk)
+
+
+def test_detector_route_compaction_parity():
+    """End-to-end: a TPUDetector with route_compaction=True returns the
+    same detections as the default sort path."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+
+    img, _ = render_scene(
+        [5, 90], [simple_square_corners(90, 70, 36, angle_deg=11),
+                  simple_square_corners(230, 90, 42, angle_deg=-28)],
+        320, 160, noise_sigma=1.5, seed=2)
+    kw = dict(width=320, height=160, max_points=16384, max_segments=256,
+              max_quads=32, fx=300.0, fy=300.0, cx=160.0, cy=80.0,
+              estimate_pose=True)
+    base = TPUDetector(DetectorConfig(**kw)).detect(img)
+    routed = TPUDetector(DetectorConfig(route_compaction=True,
+                                        **kw)).detect(img)
+    assert [d.tag_id for d in base] == [d.tag_id for d in routed] == [5, 90]
+    for a, b in zip(base, routed):
+        np.testing.assert_array_equal(a.corners, b.corners)
+        np.testing.assert_array_equal(np.asarray(a.pose_t),
+                                      np.asarray(b.pose_t))
