@@ -72,9 +72,26 @@ def main():
         out = quadfit.cluster_and_fit(pts, decim, qcfg)
         return out["corners"], out["quad_valid"]
 
+    def p_screen(g):
+        """+ the decode-gated-refine screen: unrefined pre-decode over all
+        quad slots + top_k (detector.py _cluster_and_tail's gate)."""
+        from ros_vision_tpu.ops import decode as dec
+        decim = thr.decimate2(g)
+        t, _ = thr.adaptive_threshold(decim)
+        _, _, ranks = ccl.label_components_flood(t)
+        pts, _ = quadfit.boundary_points(t, ranks, qcfg)
+        out = quadfit.cluster_and_fit(pts, decim, qcfg)
+        corners = dec.adjust_pixel_centers(out["corners"])
+        pre = dec.decode_quads(g, corners, out["quad_valid"], det.family,
+                               det._code_matrix)
+        screen = out["quad_valid"] & (pre["hamming"] <= 4)
+        prio = jnp.where(screen, pre["margin"], -jnp.inf)
+        return jax.lax.top_k(prio, det.config.max_active_quads)
+
     prev = 0.0
     for name, fn in [("threshold", p_thresh), ("+ccl", p_ccl),
-                     ("+boundary", p_boundary), ("+cluster", p_cluster)]:
+                     ("+boundary", p_boundary), ("+cluster", p_cluster),
+                     ("+screen", p_screen)]:
         jf = jax.jit(fn)
         t0 = time.perf_counter()
         jax.block_until_ready(jf(g))
