@@ -159,7 +159,7 @@ def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 90.0):
 
 
 def main():
-    wait_for_backend()
+    wait_for_backend(float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500")))
     batches = [int(x) for x in
                os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))
