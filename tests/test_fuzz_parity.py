@@ -193,3 +193,47 @@ def test_very_long_edge_refine_parity():
     dp = float(np.abs(np.asarray(t[0].pose_t)
                       - np.asarray(o[0].pose_t)).max())
     assert dp < 5e-3, dp
+
+
+def test_junk_quad_knife_edge_scene():
+    """Soak seed 6019 (the 1-in-10,000 parity event): at noise sigma 3.1 a
+    pure-noise quad refines onto a bit pattern within hamming 2 of code
+    284 on the f32 path but not the f64 oracle — refine on a junk quad is
+    noise-chasing, so the two legitimately diverge there (the decode
+    stages agree bit-for-bit on identical quads; measured margin 2.1 vs
+    150-300 for real tags). Pin the material invariants: every rendered
+    tag detected with hamming 0 and oracle-matching corners, and any
+    extra detection carries a junk-level margin (< 10)."""
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    seed = 6019
+    rng = np.random.default_rng(seed)
+    n_tags = int(rng.integers(1, 4))
+    ids = rng.choice(587, n_tags, replace=False).tolist()
+    corners = []
+    xs = np.linspace(60, 320 - 60, n_tags)
+    for i in range(n_tags):
+        corners.append(simple_square_corners(
+            xs[i] + rng.uniform(-10, 10), rng.uniform(55, 160 - 55),
+            rng.uniform(22, 34), angle_deg=rng.uniform(-45, 45)))
+    img, _ = render_scene(ids, corners, 320, 160,
+                          noise_sigma=rng.uniform(0, 4),
+                          background=int(rng.uniform(120, 220)),
+                          seed=int(rng.integers(1 << 30)))
+    det = TPUDetector(DetectorConfig(
+        width=320, height=160, max_points=16384, max_segments=128,
+        max_quads=16, fx=300.0, fy=300.0, cx=160.0, cy=80.0,
+        estimate_pose=True))
+    oracle = OracleDetector(fx=300.0, fy=300.0, cx=160.0, cy=80.0,
+                            estimate_pose=True)
+    t = det.detect(img)
+    o = {d.tag_id: d for d in oracle.detect(img).detections}
+    got = {d.tag_id: d for d in t}
+    assert set(ids) <= set(got), (ids, sorted(got))
+    for tag_id in ids:
+        assert got[tag_id].hamming == 0
+        assert tag_id in o
+        assert np.abs(got[tag_id].corners - o[tag_id].corners).max() < 1.0
+    for d in t:
+        if d.tag_id not in ids:
+            assert d.decision_margin < 10.0, \
+                (d.tag_id, d.decision_margin)
