@@ -33,6 +33,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", "--seeds", type=int, default=126)
     ap.add_argument("-s", "--start", type=int, default=0)
+    ap.add_argument("--audit-misses", action="store_true",
+                    help="hard profile: run the f64 oracle on every "
+                         "non-detection and fail on TPU-specific misses")
     ap.add_argument("--profile", choices=["parity", "hard", "gate"],
                     default="parity",
                     help="parity: randomized scenes vs the f64 oracle; "
@@ -276,6 +279,21 @@ def run_hard(args, W, H, FX, FY, CX, CY) -> int:
         res = det_cache[key].detect(img)
         if not res:
             missed += 1
+            if args.audit_misses:
+                # recall parity: a miss is only acceptable if the f64
+                # oracle misses the same scene (round-2 audit found 45/45
+                # oracle-missed; this automates that check)
+                from ros_vision_tpu.apriltag.oracle import OracleDetector
+                ok = OracleDetector(
+                    fx=FX, fy=FY, cx=CX, cy=CY,
+                    dist=tuple(dist) if use_dist else None).detect(
+                        img).detections
+                if any(d.tag_id == tag_id for d in ok):
+                    failures.append((seed, ["TPU-specific miss: oracle "
+                                            f"detects id {tag_id}"]))
+                    print(f"seed {seed}: TPU-SPECIFIC MISS (oracle "
+                          f"detects {tag_id}, tilt {tilt:.0f})",
+                          flush=True)
             continue
         errs = []
         d = res[0]
