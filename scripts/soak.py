@@ -164,7 +164,8 @@ def run_gate(args) -> int:
         estimate_pose=False))
     fam = get_family()
     cm = jnp.asarray(dec.make_code_matrix(fam))
-    mags = (0.5, 1.0, 1.5, 2.0, 2.5, 3.0)
+    mags = tuple(float(x) for x in os.environ.get(
+        "SOAK_GATE_MAGS", "0.5,1.0,1.5,2.0,2.5,3.0").split(","))
     n_pert = 64
 
     import jax
@@ -216,7 +217,7 @@ def run_gate(args) -> int:
     print(f"gate losses by perturbation magnitude: {losses_at}")
     thr = min((m for m, n in losses_at.items() if n), default=None)
     if thr is None:
-        print("no gate loss at any magnitude <= 3.0 px")
+        print(f"no gate loss at any magnitude <= {max(mags)} px")
     else:
         print(f"smallest magnitude with a gate loss: {thr} px "
               f"(quadfit worst observed corner error is sub-0.5 px)")
