@@ -137,6 +137,14 @@ def main() -> int:
 
     print(f"\n{args.seeds} seeds, {len(failures)} failures, "
           f"{len(junk_extras)} junk-margin extras, {time.time() - t0:.0f}s")
+    # knife-edge junk extras are expected at ~1e-4/seed (random-code
+    # probability); a RATE well above that means a systematic regression,
+    # not knife-edge noise — fail loudly rather than reclassify it away
+    junk_cap = max(2, args.seeds // 200)
+    if len(junk_extras) > junk_cap:
+        print(f"junk-extra rate {len(junk_extras)}/{args.seeds} exceeds "
+              f"the knife-edge budget ({junk_cap}) — treating as failure")
+        return 1
     return 1 if failures else 0
 
 
