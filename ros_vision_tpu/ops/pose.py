@@ -65,7 +65,8 @@ def polar_rotation(m, iters=8):
 
 
 def _orthogonal_iteration(v, obj, r0, t0, n_steps=30):
-    """v (..., 4, 3) sight rays; obj (4, 3); r0 (..., 3, 3); t0 (..., 3)."""
+    """v (..., 4, 3) sight rays; obj (4, 3) PLANAR (z == 0 — tag corners);
+    r0 (..., 3, 3); t0 (..., 3)."""
     vv = (v[..., :, :, None] * v[..., :, None, :]) / \
         (v * v).sum(-1)[..., None, None]            # F_i (..., 4, 3, 3)
     eye = jnp.eye(3, dtype=v.dtype)
@@ -81,6 +82,25 @@ def _orthogonal_iteration(v, obj, r0, t0, n_steps=30):
         q = jnp.einsum("...nij,...nj->...ni", vv, rp + t[..., None, :])
         q_mean = q.mean(-2, keepdims=True)
         m = jnp.einsum("...ni,nj->...ij", q - q_mean, p_res)
+        # planar object: p_res[:, 2] == 0 makes m's third COLUMN exactly
+        # zero, and the Newton polar iteration inverts its input — a
+        # singular m filled R[:, 2] with adj/1e-20 garbage (~1e16) while
+        # the first two columns still converged. The Procrustes-optimal
+        # completion is the cross of the two data columns: e3 is m's
+        # null right-singular vector, c0 x c1 spans the left null space,
+        # and the polar factor is invariant to the (positive) scale of a
+        # singular direction — scaled to the geometric mean of the data
+        # columns' norms for Newton conditioning. (The f64 oracle's SVD
+        # with the det sign fix handles rank-2 m natively,
+        # geometry.py:234-235.)
+        c0 = m[..., :, 0]
+        c1 = m[..., :, 1]
+        c2 = jnp.cross(c0, c1)
+        n0 = jnp.sqrt((c0 * c0).sum(-1))
+        n1 = jnp.sqrt((c1 * c1).sum(-1))
+        c2n = jnp.sqrt((c2 * c2).sum(-1))
+        scale = jnp.sqrt(n0 * n1) / jnp.maximum(c2n, 1e-30)
+        m = jnp.stack([c0, c1, c2 * scale[..., None]], -1)
         r_new = polar_rotation(m)
         return r_new, t
 

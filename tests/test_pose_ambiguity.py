@@ -120,3 +120,23 @@ def test_noisy_branch_selection():
     assert checked >= 30, (checked, borderline)
     assert mism_oracle == 0, f"{mism_oracle}/{checked} oracle branch misses"
     assert mism_device == 0, f"{mism_device}/{checked} device branch misses"
+
+
+def test_device_pose_rotation_is_orthonormal():
+    """Regression: the device OI's Procrustes matrix has an exactly-zero
+    third column for planar tags, and the Newton polar iteration used to
+    invert it — R[:, 2] came back as ~1e16 garbage (adj/1e-20) while
+    pose_t stayed correct, so only R-consuming code saw it. The returned
+    R must be a proper rotation matching the f64 oracle's normal."""
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        tilt = rng.uniform(5, 60)
+        R_true = _rot([1, rng.uniform(-0.5, 0.5), 0], tilt)
+        t_true = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.08, 0.08),
+                           rng.uniform(0.5, 1.2)])
+        corners = _project(R_true, t_true)
+        R, t = _device_pose(corners)
+        assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5, (trial, tilt)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
+        Ro, to, eo = geo.estimate_tag_pose(corners, TAG, FX, FY, CX, CY)
+        assert np.abs(R[:, 2] - Ro[:, 2]).max() < 5e-3, (trial, tilt)

@@ -129,6 +129,19 @@ def test_mesh_sharded_detection():
         ids = out["tag_id"][i][out["ok"][i]]
         assert ids.tolist() == [10 + i]
 
+    # sharding is a layout decision, not a numeric one: every DETECTION
+    # must match the unsharded single-program detector bit-for-bit.
+    # (Only valid slots: the narrow/wide lax.cond predicates reduce over
+    # the visible batch, so sharding can legitimately flip which branch
+    # fills the garbage in invalid slots.)
+    ref = jax.tree_util.tree_map(
+        np.asarray, det._fn(np.stack(imgs), det.default_intrinsics(4)))
+    np.testing.assert_array_equal(out["ok"], ref["ok"])
+    okm = ref["ok"]
+    for key in ref:
+        np.testing.assert_array_equal(out[key][okm], ref[key][okm],
+                                      err_msg=key)
+
 
 def test_vision_system_foxglove_stream(config_file):
     """End-to-end with the Foxglove bridge enabled: a Studio-protocol
