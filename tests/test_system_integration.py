@@ -129,13 +129,15 @@ def test_mesh_sharded_detection():
         ids = out["tag_id"][i][out["ok"][i]]
         assert ids.tolist() == [10 + i]
 
-    # sharding is a layout decision, not a numeric one: every DETECTION
-    # must match the unsharded single-program detector bit-for-bit.
-    # (Only valid slots: the narrow/wide lax.cond predicates reduce over
-    # the visible batch, so sharding can legitimately flip which branch
-    # fills the garbage in invalid slots.)
-    ref = jax.tree_util.tree_map(
-        np.asarray, det._fn(np.stack(imgs), det.default_intrinsics(4)))
+    # sharding is a layout decision, not a numeric one: each device runs
+    # the B=1 program on its row, so the sharded output must equal the
+    # per-row B=1 detector bit-for-bit on valid slots. (The B=4 program
+    # is NOT the reference: f32 prefix-sum reduction order is batch-shape
+    # dependent — sub-0.1 px corner wiggle, see CLAUDE.md known numerics.)
+    ref_rows = [jax.tree_util.tree_map(
+        np.asarray, det._fn(imgs[i][None], det.default_intrinsics(1)))
+        for i in range(4)]
+    ref = {k: np.concatenate([r[k] for r in ref_rows]) for k in ref_rows[0]}
     np.testing.assert_array_equal(out["ok"], ref["ok"])
     okm = ref["ok"]
     for key in ref:
