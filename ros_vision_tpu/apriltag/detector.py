@@ -96,10 +96,12 @@ class DetectorConfig:
     # stream compaction (ops/segments.compact_route) for the two
     # boundary_points compactions instead of lax.sort — bit-identical
     # outputs, shape-unconstrained (serves 1080p frames the Pallas
-    # boundary kernels can't take). None = auto: resolves to False until
-    # the roll chain is measured faster than the sorts on chip
-    # (scripts/mb_sort.py bench_route is the probe; flip the auto rule
-    # with the measurement in hand).
+    # boundary kernels can't take). Measured on the relay v5e
+    # (scripts/mb_sort.py bench_route): 2.92 vs 4.17 ms/frame at
+    # (4, 400, 640) K=65536 and 5.00 vs 7.42 at 1080p K=131072, exact
+    # parity both. None = auto: on for TPU backends whenever the fused
+    # Pallas boundary path is NOT taken (probe failure or non-routable
+    # frame) — the sort compaction is never the best available path.
     tag_size: float = 0.1651          # meters (apriltags_cuda_detector.hpp:39)
     fx: float = 0.0
     fy: float = 0.0
@@ -188,8 +190,15 @@ class TPUDetector:
                                              use_pallas_sort=True)
             self._qcfg_narrow = dataclasses.replace(self._qcfg_narrow,
                                                     use_pallas_sort=True)
-        if config.route_compaction:   # None (auto) resolves to False for
-            # now — see the DetectorConfig field comment
+        rc = config.route_compaction
+        if rc is None:   # auto: the routing chain beats the sort
+            # compaction on chip (field comment has the numbers), so use
+            # it whenever the fused Pallas boundary path is off; CPU
+            # keeps the sorts (rolls don't win there, and tests pin both
+            # paths explicitly).
+            rc = (jax.default_backend() in ("tpu", "axon")
+                  and not self._use_fused)
+        if rc:
             self._qcfg = dataclasses.replace(self._qcfg,
                                              route_compaction=True)
             self._qcfg_narrow = dataclasses.replace(self._qcfg_narrow,
