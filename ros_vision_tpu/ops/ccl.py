@@ -194,7 +194,7 @@ def _coarsen_thresh(threshim: jnp.ndarray) -> jnp.ndarray:
 
 
 def _flood_multilevel(threshim, values, interpret, strides, levels,
-                      chunk=1, diag_strides=()):
+                      chunk=1, diag_strides=(), unit_passes=1):
     """Pyramid-preconditioned min-flood: flood the uniform-block coarse
     graph first (4x smaller, and the tortuous around-the-specks paths of
     the big background component shortcut through all-white-block
@@ -208,7 +208,7 @@ def _flood_multilevel(threshim, values, interpret, strides, levels,
         ct = _coarsen_thresh(threshim)
         cv = values.reshape(b, h // 2, 2, w // 2, 2).min(axis=(2, 4))
         cl = _flood_multilevel(ct, cv, interpret, strides, levels - 1,
-                               chunk, diag_strides)
+                               chunk, diag_strides, unit_passes)
         up = jnp.broadcast_to(cl[:, :, None, :, None],
                               (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
         ct_up = jnp.broadcast_to(ct[:, :, None, :, None],
@@ -217,18 +217,20 @@ def _flood_multilevel(threshim, values, interpret, strides, levels,
     return ccl_pallas.propagate_fixpoint(threshim, values, strides=strides,
                                          chunk=chunk,
                                          diag_strides=diag_strides,
+                                         unit_passes=unit_passes,
                                          interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "min_blob",
                                              "strides", "broadcast",
                                              "levels", "chunk",
-                                             "diag_strides"))
+                                             "diag_strides", "unit_passes"))
 def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
                            min_blob: int = 25, strides: tuple | None = None,
                            broadcast: str = "gather", levels: int = 0,
                            chunk: int = 1,
-                           diag_strides: tuple | None = None):
+                           diag_strides: tuple | None = None,
+                           unit_passes: int | None = None):
     # levels>0 enables the pyramid preconditioner (_flood_multilevel);
     # measured a wash on v5e at 400x640 (43 -> 46 ms at B=4: the coarse
     # kernel + up/down sampling offset the sweep savings) — kept for
@@ -255,10 +257,17 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
         strides = ccl_pallas._STRIDES
     if diag_strides is None:
         diag_strides = ccl_pallas._DIAG_STRIDES
+    if unit_passes is None:
+        # measured: 8 wins at (8, 400, 640) (37.5 vs 40.3 ms kernel-only)
+        # but LOSES at 1080p-decimated 540x960 (153.5 vs 141.8 ms at B=4,
+        # and a 161 s Mosaic compile) — the bigger frame's fixpoint is
+        # reach-bound, not check-bound. Gate by frame size.
+        unit_passes = ccl_pallas._UNIT_PASSES if n <= (1 << 18) else 1
     init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                             (b, n)).reshape(b, h, w)
     p = _flood_multilevel(threshim, init, interpret, strides,
-                          levels, chunk, diag_strides).reshape(b, n)
+                          levels, chunk, diag_strides,
+                          unit_passes).reshape(b, n)
 
     # component sizes over the label space via the one-hot MXU histogram;
     # counts[v] > 0 iff v is some component's label (= root pixel index),
@@ -281,7 +290,8 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
     if broadcast == "flood":
         packed = ccl_pallas.propagate_fixpoint(
             threshim, packed_v.reshape(b, h, w),
-            strides=strides, interpret=interpret).reshape(b, n)
+            strides=strides, diag_strides=diag_strides,
+            unit_passes=unit_passes, interpret=interpret).reshape(b, n)
     else:
         # labels index the per-root table directly (labels ARE flat pixel
         # indices): one (B, N) gather

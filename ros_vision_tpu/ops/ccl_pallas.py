@@ -23,6 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 2 ** 30   # python literal: jnp scalars would be captured constants
 
+# scoped-VMEM ceiling for the flood kernels: the default 16 MB limit is a
+# compiler heuristic, not the hardware (v5e has 128 MB/core); the unrolled
+# unit-pass schedules keep more roll temporaries live on the Mosaic stack
+# and trip the default at (8, 400, 640) already. Same raise as
+# sort_pallas/frontend_pallas.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
 # (dy, dx, diagonal) — same table as ops/ccl.py
 _OFFSETS = [
     (0, -1, False), (0, 1, False), (-1, 0, False), (1, 0, False),
@@ -107,6 +114,16 @@ _DIAG_STRIDES = (4,)      # white-only diagonal chains: jumps shortcut the
 # wash. Parity exact incl. 1080p-decimated 540x960 on chip. (The Mosaic
 # diag+matmul crash in CLAUDE.md needs a matmul fori loop in the SAME
 # kernel; the flood kernel has none.)
+_UNIT_PASSES = 8          # unit passes per sweep (alternating order):
+# sweeps-to-fixpoint drop ~linearly with passes per sweep on the noisy
+# scene (269 at 1, 59 at 8, 32 at 16 — the fixpoint is turn-bound and a
+# unit pass turns one corner), amortizing the per-sweep convergence
+# check + while_loop overhead. Chip A/B (interleaved, kernel-only,
+# (8, 400, 640)): up=8 med 37.45 ms vs up=1 40.27; 16/24 no better and
+# costlier to compile. Needs the raised _VMEM_LIMIT (Mosaic keeps more
+# roll temporaries live on the stack). At 540x960 (1080p decimated) 8
+# LOSES (153.5 vs 141.8 ms at B=4) — ccl.label_components_flood gates
+# the default by frame size.
 _MAX_SWEEPS = 16384       # safety bound (never reached in practice)
 
 
@@ -179,9 +196,33 @@ def build_ladder_masks(threshim: jnp.ndarray,
     return mask_bits
 
 
-def _ladder_sweep(mask_bits, lab, strides, diag_strides=()):
-    """One chained ladder sweep: largest jumps first, unit 8-neighborhood
-    last, each jump reading the running minimum."""
+def _unit_pass(mask_bits, lab, reverse=False):
+    """One chained unit-neighborhood pass (8 masked rolls, Gauss-Seidel:
+    every roll reads the running minimum). Application ORDER matters for
+    convergence speed, not correctness: alternating forward/reversed
+    orders lets a label turn corners in both phase orders, which cuts
+    sweeps-to-fixpoint ~linearly in the number of passes per sweep
+    (measured on the noisy bench scene: 269 sweeps at 1 pass/sweep,
+    104 at 4, 59 at 8, 32 at 16 — /tmp-style harness now in
+    scripts/mb_sweep_sched.py lineage)."""
+    m = lab
+    seq = list(enumerate(_OFFSETS))
+    if reverse:
+        seq = seq[::-1]
+    for k, (dy, dx, _d) in seq:
+        nl = _roll2(m, dy, dx)
+        m = jnp.minimum(m, jnp.where(((mask_bits >> k) & 1) == 1, nl, _BIG))
+    return m
+
+
+def _ladder_sweep(mask_bits, lab, strides, diag_strides=(),
+                  unit_passes=1):
+    """One chained ladder sweep: largest jumps first, then `unit_passes`
+    unit 8-neighborhood passes in alternating order, each step reading
+    the running minimum. More unit passes per sweep amortize the
+    convergence check + loop overhead over more propagation reach (the
+    percolating-background fixpoint is TURN-bound, and a unit pass turns
+    one corner per application)."""
     m = lab
     jumps = []
     bit = 8
@@ -197,16 +238,17 @@ def _ladder_sweep(mask_bits, lab, strides, diag_strides=()):
         nl = _roll2(m, dy, dx)
         m = jnp.minimum(m, jnp.where(((mask_bits >> bt) & 1) == 1,
                                      nl, _BIG))
-    for k, (dy, dx, _d) in enumerate(_OFFSETS):
-        nl = _roll2(m, dy, dx)
-        m = jnp.minimum(m, jnp.where(((mask_bits >> k) & 1) == 1, nl, _BIG))
+    for i in range(unit_passes):
+        m = _unit_pass(mask_bits, m, reverse=(i % 2 == 1))
     return m
 
 
-def _make_fix_kernel(strides, chunk, diag_strides=()):
+def _make_fix_kernel(strides, chunk, diag_strides=(), unit_passes=1):
     # (convergence-check throttling via an in-kernel lax.cond every 8th
     # sweep measured WORSE — 45.0 vs 39-42 ms at B=4; the scalar cond costs
-    # more than the per-sweep compare+reduce it skips)
+    # more than the per-sweep compare+reduce it skips. unit_passes > 1 is
+    # the schedule that DOES work: the extra unit passes are plain rolls,
+    # no cond, and sweeps-to-fixpoint drop ~linearly.)
     def _fix_kernel(mask_ref, val_in_ref, val_out_ref):
         mask_bits = mask_ref[0]
 
@@ -214,7 +256,8 @@ def _make_fix_kernel(strides, chunk, diag_strides=()):
             lab, _, it = state
             new = lab
             for _ in range(chunk):
-                new = _ladder_sweep(mask_bits, new, strides, diag_strides)
+                new = _ladder_sweep(mask_bits, new, strides, diag_strides,
+                                    unit_passes)
             return new, jnp.any(new != lab), it + 1
 
         lab, _, _ = jax.lax.while_loop(
@@ -225,11 +268,12 @@ def _make_fix_kernel(strides, chunk, diag_strides=()):
 
 
 @functools.partial(jax.jit, static_argnames=("strides", "chunk",
-                                             "diag_strides", "interpret"))
+                                             "diag_strides", "unit_passes",
+                                             "interpret"))
 def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
                        masks: jnp.ndarray | None = None,
                        strides: tuple = _STRIDES, chunk: int = 1,
-                       diag_strides: tuple = (),
+                       diag_strides: tuple = (), unit_passes: int = 1,
                        interpret: bool = False) -> jnp.ndarray:
     """Min-flood `values` (B, H, W) int32 over the same-value connectivity
     of `threshim` to FIXPOINT (in-kernel convergence loop). With values =
@@ -247,12 +291,13 @@ def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fix_kernel(strides, chunk, diag_strides),
+        _make_fix_kernel(strides, chunk, diag_strides, unit_passes),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         input_output_aliases={1: 0},
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(masks, values)
 
