@@ -20,13 +20,30 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1")
+# --device tpu: run the DEVICE side of the soak on the real chip (the
+# production flood-CCL/route/Pallas paths the CPU soak can't exercise);
+# the f64 oracle always runs host-side. Must be decided before jax import.
+_SOAK_TPU = any(a == "tpu" or a.endswith("=tpu") for a in sys.argv)
+if not _SOAK_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=1")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/ros_vision_tpu_jaxcache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def _det_kw_env() -> dict:
+    """SOAK_DET_KW: JSON dict of DetectorConfig overrides — lets the
+    device-path A/Bs (Pallas flood vs pure XLA, route vs sort) run the
+    same seed ranges without editing the harness."""
+    import json
+    raw = os.environ.get("SOAK_DET_KW", "")
+    return json.loads(raw) if raw else {}
 
 
 def main() -> int:
@@ -44,10 +61,18 @@ def main() -> int:
                          "is most stressed); gate: adversarial decode-gate "
                          "corner-perturbation sweep (screen_hamming safety "
                          "evidence)")
+    ap.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                    help="backend for the detector under test (the oracle "
+                         "is host-side either way); tpu exercises the "
+                         "production flood/route/Pallas default paths")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
     from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
     from ros_vision_tpu.apriltag.oracle import OracleDetector
     from ros_vision_tpu.apriltag.render import (render_scene,
@@ -62,7 +87,8 @@ def main() -> int:
         return run_gate(args)
     det = TPUDetector(DetectorConfig(
         width=W, height=H, max_points=16384, max_segments=128, max_quads=16,
-        fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True))
+        fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True,
+        **_det_kw_env()))
     oracle = OracleDetector(fx=FX, fy=FY, cx=CX, cy=CY, estimate_pose=True)
 
     failures = []
