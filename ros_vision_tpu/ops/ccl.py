@@ -194,7 +194,8 @@ def _coarsen_thresh(threshim: jnp.ndarray) -> jnp.ndarray:
 
 
 def _flood_multilevel(threshim, values, interpret, strides, levels,
-                      chunk=1, diag_strides=(), unit_passes=1):
+                      chunk=1, diag_strides=(), unit_passes=1,
+                      sparse_diag=False):
     """Pyramid-preconditioned min-flood: flood the uniform-block coarse
     graph first (4x smaller, and the tortuous around-the-specks paths of
     the big background component shortcut through all-white-block
@@ -208,7 +209,7 @@ def _flood_multilevel(threshim, values, interpret, strides, levels,
         ct = _coarsen_thresh(threshim)
         cv = values.reshape(b, h // 2, 2, w // 2, 2).min(axis=(2, 4))
         cl = _flood_multilevel(ct, cv, interpret, strides, levels - 1,
-                               chunk, diag_strides, unit_passes)
+                               chunk, diag_strides, unit_passes, sparse_diag)
         up = jnp.broadcast_to(cl[:, :, None, :, None],
                               (b, h // 2, 2, w // 2, 2)).reshape(b, h, w)
         ct_up = jnp.broadcast_to(ct[:, :, None, :, None],
@@ -218,19 +219,22 @@ def _flood_multilevel(threshim, values, interpret, strides, levels,
                                          chunk=chunk,
                                          diag_strides=diag_strides,
                                          unit_passes=unit_passes,
+                                         sparse_diag=sparse_diag,
                                          interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "min_blob",
                                              "strides", "broadcast",
                                              "levels", "chunk",
-                                             "diag_strides", "unit_passes"))
+                                             "diag_strides", "unit_passes",
+                                             "sparse_diag"))
 def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
                            min_blob: int = 25, strides: tuple | None = None,
                            broadcast: str = "gather", levels: int = 0,
                            chunk: int = 1,
                            diag_strides: tuple | None = None,
-                           unit_passes: int | None = None):
+                           unit_passes: int | None = None,
+                           sparse_diag: bool | None = None):
     # levels>0 enables the pyramid preconditioner (_flood_multilevel);
     # measured a wash on v5e at 400x640 (43 -> 46 ms at B=4: the coarse
     # kernel + up/down sampling offset the sweep savings) — kept for
@@ -263,11 +267,13 @@ def label_components_flood(threshim: jnp.ndarray, interpret: bool = False,
         # and a 161 s Mosaic compile) — the bigger frame's fixpoint is
         # reach-bound, not check-bound. Gate by frame size.
         unit_passes = ccl_pallas._UNIT_PASSES if n <= (1 << 18) else 1
+    if sparse_diag is None:
+        sparse_diag = False     # flipped per-size once measured on chip
     init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                             (b, n)).reshape(b, h, w)
     p = _flood_multilevel(threshim, init, interpret, strides,
                           levels, chunk, diag_strides,
-                          unit_passes).reshape(b, n)
+                          unit_passes, sparse_diag).reshape(b, n)
 
     # component sizes over the label space via the one-hot MXU histogram;
     # counts[v] > 0 iff v is some component's label (= root pixel index),

@@ -114,16 +114,22 @@ _DIAG_STRIDES = (4,)      # white-only diagonal chains: jumps shortcut the
 # wash. Parity exact incl. 1080p-decimated 540x960 on chip. (The Mosaic
 # diag+matmul crash in CLAUDE.md needs a matmul fori loop in the SAME
 # kernel; the flood kernel has none.)
-_UNIT_PASSES = 8          # unit passes per sweep (alternating order):
+_UNIT_PASSES = 16         # unit passes per sweep (alternating order):
 # sweeps-to-fixpoint drop ~linearly with passes per sweep on the noisy
 # scene (269 at 1, 59 at 8, 32 at 16 — the fixpoint is turn-bound and a
 # unit pass turns one corner), amortizing the per-sweep convergence
-# check + while_loop overhead. Chip A/B (interleaved, kernel-only,
-# (8, 400, 640)): up=8 med 37.45 ms vs up=1 40.27; 16/24 no better and
-# costlier to compile. Needs the raised _VMEM_LIMIT (Mosaic keeps more
-# roll temporaries live on the stack). At 540x960 (1080p decimated) 8
-# LOSES (153.5 vs 141.8 ms at B=4) — ccl.label_components_flood gates
-# the default by frame size.
+# check + while_loop overhead. Chip A/Bs of the FULL flood at
+# (8, 400, 640): up=16 beats 8 in both a sequential sweep (7.74 vs 8.40
+# ms/frame) and an interleaved rerun under relay load (12.75 vs 13.49
+# median); 24 no better. (An earlier kernel-only A/B favored 8 — the
+# full flood amortizes the mask build differently.) sparse_diag
+# (straight-only unit passes) measured WORSE (12.7 vs 8.4 ms/frame at
+# up=8): diagonal white hops are the binding propagation through the
+# speckled background, not an occasional correction. Needs the raised
+# _VMEM_LIMIT (Mosaic keeps more roll temporaries live on the stack).
+# At 540x960 (1080p decimated) multi-pass LOSES (153.5 vs 141.8 ms at
+# B=4 for up=8) — ccl.label_components_flood gates the default by
+# frame size.
 _MAX_SWEEPS = 16384       # safety bound (never reached in practice)
 
 
@@ -196,17 +202,20 @@ def build_ladder_masks(threshim: jnp.ndarray,
     return mask_bits
 
 
-def _unit_pass(mask_bits, lab, reverse=False):
-    """One chained unit-neighborhood pass (8 masked rolls, Gauss-Seidel:
+def _unit_pass(mask_bits, lab, reverse=False, ndirs=8):
+    """One chained unit-neighborhood pass (masked rolls, Gauss-Seidel:
     every roll reads the running minimum). Application ORDER matters for
     convergence speed, not correctness: alternating forward/reversed
     orders lets a label turn corners in both phase orders, which cuts
     sweeps-to-fixpoint ~linearly in the number of passes per sweep
     (measured on the noisy bench scene: 269 sweeps at 1 pass/sweep,
     104 at 4, 59 at 8, 32 at 16 — /tmp-style harness now in
-    scripts/mb_sweep_sched.py lineage)."""
+    scripts/mb_sweep_sched.py lineage). ndirs=4 restricts to the straight
+    offsets (half the rolls; diagonal adjacency only matters for white
+    8-way hops, so sparse-diagonal schedules keep most of the
+    corner-turning power — see _ladder_sweep sparse_diag)."""
     m = lab
-    seq = list(enumerate(_OFFSETS))
+    seq = list(enumerate(_OFFSETS))[:ndirs]
     if reverse:
         seq = seq[::-1]
     for k, (dy, dx, _d) in seq:
@@ -216,13 +225,20 @@ def _unit_pass(mask_bits, lab, reverse=False):
 
 
 def _ladder_sweep(mask_bits, lab, strides, diag_strides=(),
-                  unit_passes=1):
+                  unit_passes=1, sparse_diag=False):
     """One chained ladder sweep: largest jumps first, then `unit_passes`
     unit 8-neighborhood passes in alternating order, each step reading
     the running minimum. More unit passes per sweep amortize the
     convergence check + loop overhead over more propagation reach (the
     percolating-background fixpoint is TURN-bound, and a unit pass turns
-    one corner per application)."""
+    one corner per application).
+
+    sparse_diag: all unit passes but the LAST use only the 4 straight
+    directions (half the rolls per pass); the final pass stays full
+    8-direction. Exactness is unaffected: the fixpoint loop stops only
+    when a whole sweep is the identity, which includes that full pass —
+    and identity under one full 8-neighbor min pass IS the CCL fixpoint
+    (no single-step improvement possible)."""
     m = lab
     jumps = []
     bit = 8
@@ -239,11 +255,13 @@ def _ladder_sweep(mask_bits, lab, strides, diag_strides=(),
         m = jnp.minimum(m, jnp.where(((mask_bits >> bt) & 1) == 1,
                                      nl, _BIG))
     for i in range(unit_passes):
-        m = _unit_pass(mask_bits, m, reverse=(i % 2 == 1))
+        nd = 4 if (sparse_diag and i < unit_passes - 1) else 8
+        m = _unit_pass(mask_bits, m, reverse=(i % 2 == 1), ndirs=nd)
     return m
 
 
-def _make_fix_kernel(strides, chunk, diag_strides=(), unit_passes=1):
+def _make_fix_kernel(strides, chunk, diag_strides=(), unit_passes=1,
+                     sparse_diag=False):
     # (convergence-check throttling via an in-kernel lax.cond every 8th
     # sweep measured WORSE — 45.0 vs 39-42 ms at B=4; the scalar cond costs
     # more than the per-sweep compare+reduce it skips. unit_passes > 1 is
@@ -257,7 +275,7 @@ def _make_fix_kernel(strides, chunk, diag_strides=(), unit_passes=1):
             new = lab
             for _ in range(chunk):
                 new = _ladder_sweep(mask_bits, new, strides, diag_strides,
-                                    unit_passes)
+                                    unit_passes, sparse_diag)
             return new, jnp.any(new != lab), it + 1
 
         lab, _, _ = jax.lax.while_loop(
@@ -269,11 +287,12 @@ def _make_fix_kernel(strides, chunk, diag_strides=(), unit_passes=1):
 
 @functools.partial(jax.jit, static_argnames=("strides", "chunk",
                                              "diag_strides", "unit_passes",
-                                             "interpret"))
+                                             "sparse_diag", "interpret"))
 def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
                        masks: jnp.ndarray | None = None,
                        strides: tuple = _STRIDES, chunk: int = 1,
                        diag_strides: tuple = (), unit_passes: int = 1,
+                       sparse_diag: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """Min-flood `values` (B, H, W) int32 over the same-value connectivity
     of `threshim` to FIXPOINT (in-kernel convergence loop). With values =
@@ -291,7 +310,8 @@ def propagate_fixpoint(threshim: jnp.ndarray, values: jnp.ndarray,
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fix_kernel(strides, chunk, diag_strides, unit_passes),
+        _make_fix_kernel(strides, chunk, diag_strides, unit_passes,
+                         sparse_diag),
         grid=(b,),
         in_specs=[spec(), spec()],
         out_specs=spec(),

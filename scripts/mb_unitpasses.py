@@ -46,25 +46,33 @@ def main():
     threshim = jax.block_until_ready(thr.adaptive_threshold(
         thr.decimate2(g))[0])
 
+    cases = [(up, bc, False) for up in (1, 4, 8, 16, 24)
+             for bc in ("gather", "flood")]
+    if os.environ.get("MB_SPARSE"):
+        # sparse-diagonal unit-pass schedule A/B (straight-only passes,
+        # full 8-dir last pass): only meaningful at several passes/sweep
+        cases = [(up, "gather", sd) for up in (8, 12, 16)
+                 for sd in (False, True)]
     ref = None
-    for up in (1, 4, 8, 16, 24):
-        for bc in ("gather", "flood"):
-            jf = jax.jit(lambda t, up=up, bc=bc: ccl.label_components_flood(
-                t, unit_passes=up, broadcast=bc))
-            try:
-                t0 = time.perf_counter()
-                out = jax.block_until_ready(jf(threshim))
-                comp = time.perf_counter() - t0
-            except Exception as e:
-                print(f"up={up:2d} bc={bc:6s}: COMPILE FAIL "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
-                continue
-            if ref is None:
-                ref = out
-            ok = all(bool(jnp.array_equal(a, b_)) for a, b_ in zip(out, ref))
-            ms = timecall(jf, threshim)
-            print(f"up={up:2d} bc={bc:6s}: {ms:7.2f} ms ({ms / B:5.2f}/frame) "
-                  f"parity={ok} compile={comp:.0f}s", flush=True)
+    for up, bc, sd in cases:
+        jf = jax.jit(
+            lambda t, up=up, bc=bc, sd=sd: ccl.label_components_flood(
+                t, unit_passes=up, broadcast=bc, sparse_diag=sd))
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(jf(threshim))
+            comp = time.perf_counter() - t0
+        except Exception as e:
+            print(f"up={up:2d} bc={bc:6s} sd={int(sd)}: COMPILE FAIL "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        if ref is None:
+            ref = out
+        ok = all(bool(jnp.array_equal(a, b_)) for a, b_ in zip(out, ref))
+        ms = timecall(jf, threshim)
+        print(f"up={up:2d} bc={bc:6s} sd={int(sd)}: {ms:7.2f} ms "
+              f"({ms / B:5.2f}/frame) parity={ok} compile={comp:.0f}s",
+              flush=True)
 
 
 if __name__ == "__main__":
