@@ -78,15 +78,18 @@ class DetectorConfig:
     use_pallas_ccl: bool | None = None   # VMEM propagation kernel for CCL
     # (ops/ccl_pallas.py, ~2x on TPU); None = auto (on for TPU backends,
     # off for CPU where interpret-mode sweeps would crawl)
-    use_fused_frontend: bool | None = None   # Pallas monotone-routing
-    # boundary compaction (ops/frontend_pallas.py boundary_compact): the
-    # two lax.sort stream compactions of quadfit.boundary_points become
-    # three small VMEM routing kernels (measured 1.92 vs 4.31 ms/frame at
-    # (4, 400, 640) K=65536, bit-identical outputs incl. counts and slot
-    # order). None = auto: TPU backend, the decimated frame is routable
-    # (h*w <= 2^18), AND a probe compile of the kernels succeeds — the
-    # Mosaic compile helper has crashed nondeterministically on larger
-    # kernels, so auto falls back to the XLA path instead of failing.
+    use_fused_frontend: bool | str | None = None   # Pallas fused frontend
+    # (ops/frontend_pallas.py). "full" / True: rank_image (masks + flood +
+    # histogram + ranks in ONE kernel, replacing label_components_flood)
+    # + boundary_compact (monotone-routing compaction) — measured 6.98 vs
+    # 12.46 ms/frame for ccl+boundary at (4, 400, 640) on the relay v5e,
+    # bit-identical outputs incl. counts and slot order. "boundary":
+    # boundary_compact only, ranks from the XLA/flood CCL. None = auto:
+    # TPU backend, the decimated frame is routable (h*w <= 2^18), AND a
+    # probe compile succeeds — tried "full" first, then "boundary" (the
+    # rank kernel needs the raised vmem_limit_bytes; its former
+    # "nondeterministic" Mosaic crash was a borderline scoped-VMEM stack
+    # OOM, fixed r3) — falling back to the XLA path instead of failing.
     use_pallas_sort: bool | None = None   # VMEM bitonic network
     # (ops/sort_pallas.py) for the three (B, K) cluster_and_fit sorts
     # instead of lax.sort — identical outputs (all operands are keys).
@@ -207,30 +210,38 @@ class TPUDetector:
         self._fn_packed = jax.jit(
             lambda g, i: pack_outputs(self._detect_device(g, i)))
 
-    def _resolve_fused_frontend(self) -> bool:
+    def _resolve_fused_frontend(self) -> bool | str:
         """Resolve use_fused_frontend=None: TPU backend + routable frame
-        + a successful probe compile of the routing kernels (AOT, b=2 so
-        Mosaic's grid double-buffering is exercised — b=1 skips it; the
-        persistent compilation cache makes reruns free). The Mosaic
-        compile helper rejects some kernel shapes/sessions; probing
-        keeps a helper regression from taking down detection."""
+        + a successful probe compile (AOT, b=2 so Mosaic's grid
+        double-buffering is exercised — b=1 skips it; the persistent
+        compilation cache makes reruns free). Tries the FULL fused
+        frontend (rank_image + boundary_compact) first, then
+        boundary-only. The Mosaic compile helper rejects some kernel
+        shapes/sessions; probing keeps a helper regression from taking
+        down detection."""
         cfg = self.config
         uf = cfg.use_fused_frontend
         if uf is not None:
-            return uf
+            return "full" if uf is True else uf
         dh, dw = cfg.height // 2, cfg.width // 2
         if not (jax.default_backend() in ("tpu", "axon")
                 and dw % 128 == 0 and dh % 8 == 0 and dh * dw <= (1 << 18)):
             return False
+        from ros_vision_tpu.ops import frontend_pallas as fp
+        thr_s = jax.ShapeDtypeStruct((2, dh, dw), jnp.uint8)
+        rank_s = jax.ShapeDtypeStruct((2, dh, dw), jnp.int32)
+        bc = functools.partial(fp.boundary_compact,
+                               p_cap=self._qcfg.max_boundary_pixels,
+                               k_cap=cfg.max_points)
         try:
-            from ros_vision_tpu.ops.frontend_pallas import boundary_compact
-            jax.jit(functools.partial(
-                boundary_compact,
-                p_cap=self._qcfg.max_boundary_pixels,
-                k_cap=cfg.max_points)).lower(
-                    jax.ShapeDtypeStruct((2, dh, dw), jnp.uint8),
-                    jax.ShapeDtypeStruct((2, dh, dw), jnp.int32)).compile()
-            return True
+            jax.jit(fp.rank_image).lower(thr_s).compile()
+            jax.jit(bc).lower(thr_s, rank_s).compile()
+            return "full"
+        except Exception:
+            pass
+        try:
+            jax.jit(bc).lower(thr_s, rank_s).compile()
+            return "boundary"
         except Exception:  # helper crash -> XLA fallback, never fatal
             return False
 
@@ -288,6 +299,17 @@ class TPUDetector:
             decim = thr.decimate2(gray)
             threshim, _ = thr.adaptive_threshold(decim)
         dh, dw = cfg.height // 2, cfg.width // 2
+        if self._use_fused == "full":
+            # ONE Pallas kernel for masks+flood+histogram+ranks
+            # (rank_image) + the monotone-routing boundary compaction —
+            # no HBM label/size planes at all. Bit-identical pts/counts
+            # vs the XLA path (chip-verified, scripts/mb_frontend.py:
+            # 6.98 vs 12.46 ms/frame for ccl+boundary at (4, 400, 640)).
+            from ros_vision_tpu.ops import frontend_pallas as fp
+            pts, _counts = fp.frontend(
+                threshim, cfg.max_points, self._qcfg.max_boundary_pixels,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            return self._cluster_and_tail(gray, decim, pts, _counts, intr)
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:
             # auto: TPU backend AND the VMEM-resident kernel's working set

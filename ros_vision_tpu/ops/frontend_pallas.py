@@ -181,9 +181,26 @@ def _build_masks(v, strides, diag_strides):
     return mask
 
 
-def _ladder_sweep(mask, lab, strides, diag_strides):
+def _unit_pass(mask, lab, reverse=False):
+    """One chained unit-neighborhood pass (8 masked rolls, Gauss-Seidel).
+    Alternating forward/reversed order between passes cuts sweeps-to-
+    fixpoint ~linearly in passes per sweep (the fixpoint is turn-bound;
+    ccl_pallas._unit_pass has the measured curve). Unit passes touch only
+    the unit-direction mask bits — NOT the diagonal-jump chains that
+    trigger the Mosaic crash next to the histogram matmul fori."""
+    m = lab
+    seq = list(enumerate(_OFFSETS))
+    if reverse:
+        seq = seq[::-1]
+    for k, (dy, dx, _d) in seq:
+        nl = _roll2(m, dy, dx)
+        m = jnp.minimum(m, jnp.where(((mask >> k) & 1) == 1, nl, _BIG))
+    return m
+
+
+def _ladder_sweep(mask, lab, strides, diag_strides, unit_passes=1):
     """One chained sweep: largest jumps first on the running minimum,
-    unit 8-neighborhood last."""
+    then `unit_passes` unit 8-neighborhood passes in alternating order."""
     m = lab
     jumps = []
     bit = 8
@@ -198,13 +215,12 @@ def _ladder_sweep(mask, lab, strides, diag_strides):
     for dy, dx, b in reversed(jumps):
         nl = _roll2(m, dy, dx)
         m = jnp.minimum(m, jnp.where(((mask >> b) & 1) == 1, nl, _BIG))
-    for k, (dy, dx, _d) in enumerate(_OFFSETS):
-        nl = _roll2(m, dy, dx)
-        m = jnp.minimum(m, jnp.where(((mask >> k) & 1) == 1, nl, _BIG))
+    for i in range(unit_passes):
+        m = _unit_pass(mask, m, reverse=(i % 2 == 1))
     return m
 
 
-def _flood(v, strides, diag_strides):
+def _flood(v, strides, diag_strides, unit_passes=1):
     """Min-flood flat pixel indices over same-value connectivity to
     fixpoint. Returns the (H, W) int32 label plane."""
     h, w = v.shape
@@ -214,7 +230,7 @@ def _flood(v, strides, diag_strides):
 
     def step(state):
         lab, _, it = state
-        new = _ladder_sweep(mask, lab, strides, diag_strides)
+        new = _ladder_sweep(mask, lab, strides, diag_strides, unit_passes)
         return new, jnp.any(new != lab), it + 1
 
     lab, _, _ = jax.lax.while_loop(
@@ -333,7 +349,8 @@ def _thin_targets(valid, cap):
 # rank kernel
 # ---------------------------------------------------------------------------
 
-def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides):
+def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
+                      unit_passes=1):
     n = h * w
 
     hc = 8                     # rows per histogram matmul
@@ -344,7 +361,7 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides):
 
     def kernel(thresh_ref, rank_ref, hist_ref, lab_ref):
         v = thresh_ref[0].astype(jnp.int32)
-        lab_ref[:] = _flood(v, strides, diag_strides)
+        lab_ref[:] = _flood(v, strides, diag_strides, unit_passes)
 
         # ---- histogram over the factored label space ----------------
         # hc rows per iteration: per-row matmuls drown in loop overhead
@@ -411,10 +428,12 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides):
 
 
 @functools.partial(jax.jit, static_argnames=("min_blob", "strides",
-                                             "diag_strides", "interpret"))
+                                             "diag_strides", "unit_passes",
+                                             "interpret"))
 def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
                strides: tuple = STRIDES,
                diag_strides: tuple = DIAG_STRIDES,
+               unit_passes: int | None = None,
                interpret: bool = False) -> jnp.ndarray:
     """(B, H, W) uint8 threshold image -> (B, H, W) int32 dense blob ranks
     (1..MAX_BLOBS over components with size >= min_blob, 0 elsewhere) —
@@ -424,17 +443,26 @@ def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
     n = h * w
     assert n < (1 << 19), "label space must fit 9+10-bit factoring"
     assert h % 8 == 0 and w % 128 == 0, (h, w)
+    if unit_passes is None:
+        # same gate as ccl.label_components_flood: multi-pass sweeps win
+        # at bench sizes, lose on big (reach-bound) frames
+        unit_passes = 16 if n <= (1 << 18) else 1
     hi_dim = max(8, -(-(-(-n // 512)) // 8) * 8)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides),
+        _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
+                          unit_passes),
         grid=(b,),
         in_specs=[spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((hi_dim, 512), jnp.float32),
                         pltpu.VMEM((h, w), jnp.int32)],
+        # Mosaic keeps the roll temporaries of the flood loop live on the
+        # stack: the default scoped-vmem limit OOMs by ~2 MB at 400x640
+        # (measured r3: 30.83M needed vs 28.70M default limit)
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(threshim)
 
