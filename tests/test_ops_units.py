@@ -87,6 +87,28 @@ def test_pallas_threshold_interpret():
     assert np.array_equal(np.asarray(t[0]), o_thr)
 
 
+def test_pallas_threshold_interpret_production_batch():
+    """Production-resolution (1280x800) batched parity vs the XLA path —
+    exercises the whole-frame grid and both output planes per frame."""
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import threshold as thr
+    from ros_vision_tpu.ops.threshold_pallas import adaptive_threshold_fused
+    img1, _ = render_scene([7, 42], [simple_square_corners(300, 250, 90),
+                                     simple_square_corners(800, 400, 110,
+                                                           angle_deg=20)],
+                           1280, 800, noise_sigma=3)
+    img2, _ = render_scene([0], [simple_square_corners(450, 600, 70,
+                                                       angle_deg=-35)],
+                           1280, 800, noise_sigma=1)
+    g = jnp.stack([jnp.asarray(img1), jnp.asarray(img2)])
+    decim_ref = thr.decimate2(g)
+    thr_ref, _ = thr.adaptive_threshold(decim_ref)
+    d, t = adaptive_threshold_fused(g, interpret=True)
+    assert np.array_equal(np.asarray(d), np.asarray(decim_ref))
+    assert np.array_equal(np.asarray(t), np.asarray(thr_ref))
+
+
 def test_ccl_hybrid_interpret_matches_xla():
     """The Pallas-accelerated hybrid CCL (interpret mode on CPU) must agree
     exactly with the XLA CCL: labels, sizes and dense big-blob ranks."""
