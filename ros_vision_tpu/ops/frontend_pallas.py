@@ -350,13 +350,16 @@ def _thin_targets(valid, cap):
 # ---------------------------------------------------------------------------
 
 def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
-                      unit_passes=1):
+                      unit_passes=1, hc=8, gc=8):
     n = h * w
 
-    hc = 8                     # rows per histogram matmul
-    gc = 2                     # rows per gather matmul (the f32 tmp —
-    # MXU accumulators must be 32-bit — is (512, gc*W); gc=2 keeps it
-    # at 2.6 MB next to the one-hot builds)
+    # hc: rows per histogram matmul; gc: rows per gather matmul (the f32
+    # tmp — MXU accumulators must be 32-bit — is (512, gc*W)). The old
+    # (8, 2) defaults were sized for the 16/28 MB scoped-VMEM era; with
+    # the 64 MB limit wider chunks fit. Chip A/B at (8, 400, 640)
+    # (scripts/mb_rankchunks.py, interleaved two-pass minima): (8,2)
+    # 6.05 ms/frame, (8,8)/(16,4)/(16,8) all ~5.74-5.75 — plateau past
+    # gc=4, so (8, 8) ships.
     assert h % hc == 0 and h % gc == 0, h
 
     def kernel(thresh_ref, rank_ref, hist_ref, lab_ref):
@@ -429,11 +432,12 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
 
 @functools.partial(jax.jit, static_argnames=("min_blob", "strides",
                                              "diag_strides", "unit_passes",
-                                             "interpret"))
+                                             "hc", "gc", "interpret"))
 def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
                strides: tuple = STRIDES,
                diag_strides: tuple = DIAG_STRIDES,
                unit_passes: int | None = None,
+               hc: int = 8, gc: int = 8,
                interpret: bool = False) -> jnp.ndarray:
     """(B, H, W) uint8 threshold image -> (B, H, W) int32 dense blob ranks
     (1..MAX_BLOBS over components with size >= min_blob, 0 elsewhere) —
@@ -452,7 +456,7 @@ def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
-                          unit_passes),
+                          unit_passes, hc, gc),
         grid=(b,),
         in_specs=[spec()],
         out_specs=spec(),
