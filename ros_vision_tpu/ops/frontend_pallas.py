@@ -350,7 +350,7 @@ def _thin_targets(valid, cap):
 # ---------------------------------------------------------------------------
 
 def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
-                      unit_passes=1, hc=8, gc=8):
+                      unit_passes=1, hc=8, gc=8, split_u8=False):
     n = h * w
 
     # hc: rows per histogram matmul; gc: rows per gather matmul (the f32
@@ -362,7 +362,17 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
     # gc=4, so (8, 8) ships.
     assert h % hc == 0 and h % gc == 0, h
 
-    def kernel(thresh_ref, rank_ref, hist_ref, lab_ref):
+    def kernel(thresh_ref, *refs):
+        if split_u8:
+            # two u8 output planes (rank >> 8, rank & 255): halves the
+            # HBM output traffic vs one int32 plane. gc-row slices are
+            # written into an i32 scratch (u8 sublane tiles are 32 rows
+            # — unaligned u8 slice stores are not) and converted with
+            # two full-plane stores at the end.
+            hi_ref, lo_ref, hist_ref, lab_ref, acc_ref = refs
+        else:
+            rank_ref, hist_ref, lab_ref = refs
+            acc_ref = None
         v = thresh_ref[0].astype(jnp.int32)
         lab_ref[:] = _flood(v, strides, diag_strides, unit_passes)
 
@@ -421,28 +431,41 @@ def _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
                                  keepdims=True))
             rank_rows = (g[0] * 256.0 + g[1]).astype(jnp.int32)
             for r in range(gc):
-                rank_ref[0, pl.ds(i * gc + r, 1), :] = \
-                    rank_rows[:, r * w:(r + 1) * w]
+                row = rank_rows[:, r * w:(r + 1) * w]
+                if split_u8:
+                    acc_ref[pl.ds(i * gc + r, 1), :] = row
+                else:
+                    rank_ref[0, pl.ds(i * gc + r, 1), :] = row
             return 0
 
         jax.lax.fori_loop(0, h // gc, gather_chunk, 0)
+        if split_u8:
+            acc = acc_ref[:]
+            hi_ref[0] = (acc >> 8).astype(jnp.uint8)
+            lo_ref[0] = (acc & 255).astype(jnp.uint8)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("min_blob", "strides",
                                              "diag_strides", "unit_passes",
-                                             "hc", "gc", "interpret"))
+                                             "hc", "gc", "split_u8",
+                                             "interpret"))
 def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
                strides: tuple = STRIDES,
                diag_strides: tuple = DIAG_STRIDES,
                unit_passes: int | None = None,
-               hc: int = 8, gc: int = 8,
-               interpret: bool = False) -> jnp.ndarray:
+               hc: int = 8, gc: int = 8, split_u8: bool = False,
+               interpret: bool = False):
     """(B, H, W) uint8 threshold image -> (B, H, W) int32 dense blob ranks
     (1..MAX_BLOBS over components with size >= min_blob, 0 elsewhere) —
     the third output of ccl.label_components_flood, computed without any
-    intermediate HBM plane."""
+    intermediate HBM plane.
+
+    split_u8=True instead returns (rank >> 8, rank & 255) as two uint8
+    planes — half the HBM output traffic (the plane write runs at the
+    sad fresh-buffer rate); callers reassemble with one fused shift+or
+    (frontend())."""
     b, h, w = threshim.shape
     n = h * w
     assert n < (1 << 19), "label space must fit 9+10-bit factoring"
@@ -454,15 +477,23 @@ def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
     hi_dim = max(8, -(-(-(-n // 512)) // 8) * 8)
     spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((hi_dim, 512), jnp.float32),
+               pltpu.VMEM((h, w), jnp.int32)]
+    if split_u8:
+        out_specs = (spec(), spec())
+        out_shape = (jax.ShapeDtypeStruct((b, h, w), jnp.uint8),) * 2
+        scratch = scratch + [pltpu.VMEM((h, w), jnp.int32)]
+    else:
+        out_specs = spec()
+        out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.int32)
     return pl.pallas_call(
         _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
-                          unit_passes, hc, gc),
+                          unit_passes, hc, gc, split_u8),
         grid=(b,),
         in_specs=[spec()],
-        out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((hi_dim, 512), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         # Mosaic keeps the roll temporaries of the flood loop live on the
         # stack: the default scoped-vmem limit OOMs by ~2 MB at 400x640
         # (measured r3: 30.83M needed vs 28.70M default limit)
@@ -727,12 +758,21 @@ def boundary_block_rows(p_cap: int, w: int) -> int:
 
 
 def frontend(threshim: jnp.ndarray, max_points: int,
-             max_boundary_pixels: int, interpret: bool = False):
+             max_boundary_pixels: int, split_u8: bool = False,
+             interpret: bool = False):
     """Full fused frontend: threshold image -> ({key, pack2} (B, K')
     with K' = out_rows*4W >= max_points, counts (B,)). Valid points are
     densely compacted to the front, in the same slot order as the XLA
-    path."""
-    ranks = rank_image(threshim, interpret=interpret)
+    path. split_u8 moves the rank plane over HBM as two u8 planes (the
+    reassembly shift+or fuses into boundary_planes_xla) — chip-parity
+    True but a measured TIE at (8, 400, 640) (5.25 vs 5.27 ms/frame,
+    scripts/mb_split8.py): the rank kernel's fixed cost is grid/dispatch,
+    not the output write. Default off."""
+    if split_u8:
+        rhi, rlo = rank_image(threshim, split_u8=True, interpret=interpret)
+        ranks = (rhi.astype(jnp.int32) << 8) | rlo.astype(jnp.int32)
+    else:
+        ranks = rank_image(threshim, interpret=interpret)
     key, pack2, counts = boundary_compact(
         threshim, ranks, max_boundary_pixels, max_points,
         interpret=interpret)

@@ -53,6 +53,11 @@ def make_stage_call(h, w, stage, unit_passes, sweeps=None):
             full_kernel(thresh_ref, rank_ref, hist_ref, lab_ref)
             return
         v = thresh_ref[0].astype(jnp.int32)
+        if stage == "copy":
+            rank_ref[0, :, :] = v
+            hist_ref[:] = jnp.zeros_like(hist_ref)
+            lab_ref[:] = v
+            return
         if stage == "masks":
             mask = fp._build_masks(v, fp.STRIDES, ())
             rank_ref[0, :, :] = mask
@@ -130,8 +135,8 @@ def main():
     h, w = threshim.shape[1], threshim.shape[2]
 
     up = 16
-    jobs = [("masks", None), ("flood", None), ("hist", None),
-            ("full", None),
+    jobs = [("copy", None), ("masks", None), ("flood", None),
+            ("hist", None), ("full", None),
             ("flood_s4", 4), ("flood_s8", 8)]
     calls = {}
     for name, sw in jobs:

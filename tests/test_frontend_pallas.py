@@ -31,6 +31,17 @@ def test_rank_image_parity(small_scene):
         np.asarray(ranks_ref))
 
 
+def test_rank_image_split_u8_parity(small_scene):
+    """The split-u8 output mode (two u8 planes, production frontend())
+    must reassemble to exactly the int32 rank plane."""
+    threshim = small_scene
+    ranks = fp.rank_image(threshim, interpret=True)
+    rhi, rlo = fp.rank_image(threshim, split_u8=True, interpret=True)
+    assert rhi.dtype == jnp.uint8 and rlo.dtype == jnp.uint8
+    re = (rhi.astype(jnp.int32) << 8) | rlo.astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(ranks))
+
+
 @pytest.mark.parametrize("p_cap,k_cap", [
     (1536, 2048),      # no overflow at either stage
     (256, 2048),       # stage-A overflow (pixel thinning)
