@@ -197,12 +197,22 @@ def _refine_edges_core(gray, corners, quad_valid, intr, dist,
     y0b = y0[..., None]
     noffb = n_off[None, None, None, None, :]
 
-    xs1 = x0b + (noffb + grange) * nxb      # (B,NQ,4,S,N)
-    ys1 = y0b + (noffb + grange) * nyb
-    xs2 = x0b + (noffb - grange) * nxb
-    ys2 = y0b + (noffb - grange) * nyb
-    g1, ok1 = _int_sample(gray_f, xs1, ys1)
-    g2, ok2 = _int_sample(gray_f, xs2, ys2)
+    # g1/g2 sample at normal offsets (n + grange) and (n - grange); the
+    # two 25-step rays overlap over [-2, 2], so ONE gather over the
+    # 33-offset union [-rng-grange, rng+grange] replaces both (34% fewer
+    # indices on the hot full-res gather). All offsets are dyadic and
+    # small, so uoff[k + 8] == n_off[k] + grange EXACTLY in f32 and the
+    # sliced samples are bit-identical to the two-gather form.
+    gsteps = int(round(2 * grange / 0.25))            # 8
+    n_union = REFINE_NORMAL_STEPS + gsteps            # 33
+    uoff = (-rng - grange
+            + 0.25 * jnp.arange(n_union, dtype=jnp.float32))
+    uoffb = uoff[None, None, None, None, :]
+    gu, oku = _int_sample(gray_f, x0b + uoffb * nxb, y0b + uoffb * nyb)
+    g1 = gu[..., gsteps:]                   # (B,NQ,4,S,N) at n + grange
+    ok1 = oku[..., gsteps:]
+    g2 = gu[..., :REFINE_NORMAL_STEPS]      # at n - grange
+    ok2 = oku[..., :REFINE_NORMAL_STEPS]
     ok = ok1 & ok2 & (g1 >= g2) & s_ok[..., None]
     wgt = jnp.where(ok, (g2 - g1) * (g2 - g1), 0.0)
     xo = x0b + noffb * nxb
