@@ -88,12 +88,18 @@ class DetectorConfig:
     # + boundary_compact (monotone-routing compaction) — measured 6.98 vs
     # 12.46 ms/frame for ccl+boundary at (4, 400, 640) on the relay v5e,
     # bit-identical outputs incl. counts and slot order. "boundary":
-    # boundary_compact only, ranks from the XLA/flood CCL. None = auto:
-    # TPU backend, the decimated frame is routable (h*w <= 2^18), AND a
-    # probe compile succeeds — tried "full" first, then "boundary" (the
-    # rank kernel needs the raised vmem_limit_bytes; its former
-    # "nondeterministic" Mosaic crash was a borderline scoped-VMEM stack
-    # OOM, fixed r3) — falling back to the XLA path instead of failing.
+    # boundary_compact only, ranks from the XLA/flood CCL. "rank":
+    # rank_image only (in-kernel CCL + sizes + rank broadcast), boundary
+    # via the XLA path — works at any shape up to 2^20 padded px
+    # (rank_image pads non-tile-aligned shapes with 127 "own blob"
+    # pixels, exactly rank-preserving) but measured SLOWER than the
+    # flood+XLA-epilogue default at 1080p (39.7 vs 29.1 ms/frame B=1),
+    # so auto never picks it. None = auto: TPU backend, the decimated
+    # frame is routable (h*w <= 2^18), AND a probe compile succeeds —
+    # tried "full" first, then "boundary" (the rank kernel needs the
+    # raised vmem_limit_bytes; its former "nondeterministic" Mosaic
+    # crash was a borderline scoped-VMEM stack OOM, fixed r3) — falling
+    # back to the XLA path instead of failing.
     use_pallas_sort: bool | None = None   # VMEM bitonic network
     # (ops/sort_pallas.py) for the three (B, K) cluster_and_fit sorts
     # instead of lax.sort — identical outputs (all operands are keys).
@@ -231,6 +237,13 @@ class TPUDetector:
         dh, dw = cfg.height // 2, cfg.width // 2
         if not (jax.default_backend() in ("tpu", "axon")
                 and dw % 128 == 0 and dh % 8 == 0 and dh * dw <= (1 << 18)):
+            # big frames: "rank" mode (rank_image pads odd shapes itself)
+            # is available explicitly but measured SLOWER at 1080p —
+            # 39.7 vs 29.1 ms/frame B=1 on chip: the factored one-hot
+            # hist/gather scales with (hi_dim + 512) * n while the XLA
+            # epilogue's random gather scales with n, and the crossover
+            # lands between the bench and 1080p sizes. Exact parity
+            # (0.0000 px corner delta on the 1080p golden) either way.
             return False
         from ros_vision_tpu.ops import frontend_pallas as fp
         thr_s = jax.ShapeDtypeStruct((2, dh, dw), jnp.uint8)
@@ -334,6 +347,20 @@ class TPUDetector:
             pts, _counts = fp.frontend(
                 threshim, cfg.max_points, self._qcfg.max_boundary_pixels,
                 interpret=jax.default_backend() not in ("tpu", "axon"))
+            return self._cluster_and_tail(gray, decim, pts, _counts, intr)
+        if self._use_fused == "rank":
+            # in-kernel CCL + sizes + rank broadcast (rank_image) for
+            # frames too large to route in-kernel: skips the XLA
+            # epilogue's (B, N) random rank gather, which lowers
+            # near-scalar and dominates the CCL at 518k px. Boundary
+            # stays on the XLA sort-compaction path.
+            from ros_vision_tpu.ops import frontend_pallas as fp
+            ranks_img = fp.rank_image(
+                threshim,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            pts, _counts = quadfit.boundary_points(
+                threshim, ranks_img.reshape(ranks_img.shape[0], -1),
+                self._qcfg)
             return self._cluster_and_tail(gray, decim, pts, _counts, intr)
         use_pallas_ccl = cfg.use_pallas_ccl
         if use_pallas_ccl is None:

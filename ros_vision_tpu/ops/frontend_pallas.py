@@ -92,6 +92,7 @@ _DIRS = ((1, 0), (0, 1), (-1, 1), (1, 1))
 # (21.47 MB measured) while B<=8 fits. 64 MB covers B=32 with the
 # routing stack; v5e has 128 MB VMEM.
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+_VMEM_LIMIT_BIG = pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
 
 STRIDES = (4, 32)       # straight-chain ladder (measured best on v5e)
 DIAG_STRIDES = ()       # white-staircase diagonal chains cut sweeps 28%
@@ -465,29 +466,44 @@ def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
     split_u8=True instead returns (rank >> 8, rank & 255) as two uint8
     planes — half the HBM output traffic (the plane write runs at the
     sad fresh-buffer rate); callers reassemble with one fused shift+or
-    (frontend())."""
+    (frontend()).
+
+    Shapes that are not tile-aligned (w % 128 or h % 8 != 0, e.g. the
+    1080p decimated 540x960) are padded in-kernel with 127 ("own blob")
+    pixels: padding pixels get no connectivity bits, form singleton
+    components below min_blob (rank 0), and trailing row/column padding
+    preserves the row-major order of real root pixels — so the
+    sliced-back ranks are bit-identical to the unpadded assignment."""
     b, h, w = threshim.shape
-    n = h * w
-    assert n < (1 << 19), "label space must fit 9+10-bit factoring"
-    assert h % 8 == 0 and w % 128 == 0, (h, w)
+    wp = -(-w // 128) * 128
+    hp = -(-h // 8) * 8
+    if (wp, hp) != (w, h):
+        threshim = jnp.pad(threshim,
+                           ((0, 0), (0, hp - h), (0, wp - w)),
+                           constant_values=127)
+    n = hp * wp
+    # the (label >> 9, label & 511) factored one-hot machinery is generic
+    # in hi_dim = ceil(n / 512); 2^20 bounds the padded 1080p decimated
+    # frame while keeping the one-hot build cost sane
+    assert n <= (1 << 20), "label space too large for the factored hists"
     if unit_passes is None:
         # same gate as ccl.label_components_flood: multi-pass sweeps win
         # at bench sizes, lose on big (reach-bound) frames
         unit_passes = 16 if n <= (1 << 18) else 1
     hi_dim = max(8, -(-(-(-n // 512)) // 8) * 8)
-    spec = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),  # noqa: E731
+    spec = lambda: pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((hi_dim, 512), jnp.float32),
-               pltpu.VMEM((h, w), jnp.int32)]
+               pltpu.VMEM((hp, wp), jnp.int32)]
     if split_u8:
         out_specs = (spec(), spec())
-        out_shape = (jax.ShapeDtypeStruct((b, h, w), jnp.uint8),) * 2
-        scratch = scratch + [pltpu.VMEM((h, w), jnp.int32)]
+        out_shape = (jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),) * 2
+        scratch = scratch + [pltpu.VMEM((hp, wp), jnp.int32)]
     else:
         out_specs = spec()
-        out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.int32)
-    return pl.pallas_call(
-        _make_rank_kernel(h, w, hi_dim, min_blob, strides, diag_strides,
+        out_shape = jax.ShapeDtypeStruct((b, hp, wp), jnp.int32)
+    out = pl.pallas_call(
+        _make_rank_kernel(hp, wp, hi_dim, min_blob, strides, diag_strides,
                           unit_passes, hc, gc, split_u8),
         grid=(b,),
         in_specs=[spec()],
@@ -496,10 +512,19 @@ def rank_image(threshim: jnp.ndarray, min_blob: int = MIN_BLOB_PIXELS,
         scratch_shapes=scratch,
         # Mosaic keeps the roll temporaries of the flood loop live on the
         # stack: the default scoped-vmem limit OOMs by ~2 MB at 400x640
-        # (measured r3: 30.83M needed vs 28.70M default limit)
-        compiler_params=_VMEM_LIMIT,
+        # (measured r3: 30.83M needed vs 28.70M default limit). Frames
+        # past the bench size (the padded 1080p decimated plane is 2.2x
+        # the 400x640 working set) get the wider budget — v5e has 128 MB.
+        compiler_params=(_VMEM_LIMIT if n <= (1 << 18)
+                         else _VMEM_LIMIT_BIG),
         interpret=interpret,
     )(threshim)
+    if (wp, hp) != (w, h):
+        if split_u8:
+            out = tuple(o[:, :h, :w] for o in out)
+        else:
+            out = out[:, :h, :w]
+    return out
 
 
 # ---------------------------------------------------------------------------

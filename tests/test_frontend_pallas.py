@@ -31,6 +31,25 @@ def test_rank_image_parity(small_scene):
         np.asarray(ranks_ref))
 
 
+def test_rank_image_pad_width_parity():
+    """Non-lane-aligned widths (w % 128 != 0, the 1080p-decimated case)
+    go through the in-kernel 127-column padding — ranks must equal the
+    XLA path's exactly."""
+    img, _ = render_scene(
+        [0, 42], [simple_square_corners(60, 56, 36),
+                  simple_square_corners(150, 60, 38, angle_deg=30)],
+        384, 104, noise_sigma=2.0)
+    threshim = thr.adaptive_threshold(thr.decimate2(jnp.asarray(img)[None]))[0]
+    assert threshim.shape[2] % 128 != 0         # (1, 52, 192)
+    assert threshim.shape[1] % 8 != 0
+    _, _, ranks_ref = ccl.label_components(threshim)
+    ranks = fp.rank_image(threshim, interpret=True)
+    assert ranks.shape == threshim.shape
+    np.testing.assert_array_equal(
+        np.asarray(ranks).reshape(ranks.shape[0], -1),
+        np.asarray(ranks_ref))
+
+
 def test_rank_image_split_u8_parity(small_scene):
     """The split-u8 output mode (two u8 planes, production frontend())
     must reassemble to exactly the int32 rank plane."""
@@ -120,12 +139,18 @@ def test_detector_fused_frontend_parity():
               estimate_pose=True)
     det_ref = TPUDetector(DetectorConfig(use_fused_frontend=False, **kw))
     det_fused = TPUDetector(DetectorConfig(use_fused_frontend=True, **kw))
+    det_rank = TPUDetector(DetectorConfig(use_fused_frontend="rank", **kw))
     r_ref = det_ref.detect(img)
     r_fused = det_fused.detect(img)
+    r_rank = det_rank.detect(img)
     assert [d.tag_id for d in r_fused] == [d.tag_id for d in r_ref] == [3, 17]
-    for a, c in zip(r_fused, r_ref):
+    assert [d.tag_id for d in r_rank] == [3, 17]
+    for a, rk, c in zip(r_fused, r_rank, r_ref):
         np.testing.assert_allclose(a.corners, c.corners, atol=1e-5)
         np.testing.assert_allclose(a.pose_t, c.pose_t, atol=1e-5)
+        # rank mode = rank_image CCL + XLA boundary: same detections
+        np.testing.assert_allclose(rk.corners, c.corners, atol=1e-5)
+        np.testing.assert_allclose(rk.pose_t, c.pose_t, atol=1e-5)
 
 
 def test_frontend_matches_full_path(small_scene):
