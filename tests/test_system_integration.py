@@ -77,8 +77,10 @@ def test_vision_system_end_to_end(config_file, tmp_path):
     system.start()
     try:
         # let the capture threads prime the rings (generous: suite load and
-        # first-process jit compiles make startup timing noisy)
-        deadline = time.time() + 60
+        # first-process jit compiles make startup timing noisy — observed
+        # exceeding 60 s when the suite shares the host with a concurrent
+        # jit-compiling process)
+        deadline = time.time() + 120
         results = None
         ids0 = ids1 = None
         while time.time() < deadline:
