@@ -22,6 +22,11 @@ def main(argv=None):
     ap.add_argument("--cx", type=float, default=609.916016)
     ap.add_argument("--cy", type=float, default=352.682645)
     ap.add_argument("--tag-size", type=float, default=0.1651)
+    ap.add_argument("--profile-dir", help="write a jax.profiler trace of "
+                    "the (warm) detector call here — the XLA-level tier "
+                    "of the reference's per-stage CUDA-event timing "
+                    "(apriltag_gpu.cu:1118-1165); open with TensorBoard "
+                    "or Perfetto")
     args = ap.parse_args(argv)
 
     # honor JAX_PLATFORMS even under the axon sitecustomize, which
@@ -58,6 +63,11 @@ def main(argv=None):
         fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy,
         tag_size=args.tag_size, estimate_pose=True))
     dets = det.detect(gray)
+    if args.profile_dir:
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            dets = det.detect(gray)        # warm call: no compile in trace
+        print(f"profiler trace -> {args.profile_dir}")
     print(f"{len(dets)} detections:")
     for d in dets:
         t = d.pose_t if d.pose_t is not None else (0, 0, 0)
