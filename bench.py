@@ -239,6 +239,34 @@ def main():
     if 1 in points:
         out["p50_latency_ms"] = points[1]["latency_ms"]
 
+    # cross-resolution point: the reference's 1920x1080 golden photo
+    # through a 1080p detector (exactly one tag must decode —
+    # gpu_detector_test.cu:85-120 semantics)
+    if os.environ.get("BENCH_1080P", "1") != "0":
+        try:
+            import cv2
+            p = ("/root/reference/src/apriltags_cuda/test/data/"
+                 "colorimage.jpg")
+            if os.path.exists(p):
+                gray1080 = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2GRAY)
+                det1080 = TPUDetector(DetectorConfig(
+                    width=1920, height=1080, fx=905.495617, fy=907.909470,
+                    cx=609.916016, cy=352.682645, estimate_pose=True))
+                r1080 = det1080.detect(gray1080)
+                g1 = jnp.asarray(gray1080[None])
+                i1 = jnp.asarray(det1080.default_intrinsics(1))
+                det1080._fn(g1, i1)["ok"].block_until_ready()
+                t0 = time.time()
+                outs = [det1080._fn(g1, i1) for _ in range(iters)]
+                _ = np.asarray(outs[-1]["ok"]).sum()
+                _ = np.asarray(outs[0]["ok"]).sum()
+                out["golden_1080p_ms_per_frame"] = round(
+                    (time.time() - t0) / iters * 1e3, 2)
+                out["golden_1080p_tags_ok"] = (
+                    [d.tag_id for d in r1080] == [554])
+        except Exception as e:  # never lose the primary metric
+            print(f"WARNING: 1080p bench failed: {e}", file=sys.stderr)
+
     # BASELINE config 5: 4-camera streaming end to end (capture->pose,
     # incl. H2D, unpack, NT publish) through VisionSystem.spin
     if os.environ.get("BENCH_STREAMING", "1") != "0":
