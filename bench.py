@@ -233,6 +233,18 @@ def main():
         "best_batch": batch,
         "best_batch_call_ms": round(dt * 1e3, 2),
         "sweep": points,
+        # resolved Pallas/kernel path selection — machine-visible so a
+        # relay-side probe regression that silently flips the fleet to
+        # XLA fallbacks shows up in the bench artifact, not just in
+        # session notes (VERDICT r3 weak #6)
+        "active_config": {
+            "fused_frontend": det._use_fused,
+            "pallas_threshold": det._use_pallas_threshold,
+            "pallas_sort": det._qcfg.use_pallas_sort,
+            "route_compaction": det._qcfg.route_compaction,
+            "max_points": det.config.max_points,
+            "active_points": det._active_points,
+        },
     }
     # the latency operating point is B=1 (one camera frame end to end);
     # best-batch call time is a throughput figure, not per-frame latency

@@ -283,8 +283,9 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
                     _debug_stop: str | None = None):
     """From compacted boundary points to quad corners.
 
-    _debug_stop: perf-instrumentation cut point ('tables', 'theta',
-    'errs', 'peaks') — returns a partial dict early; None = full run.
+    _debug_stop: perf-instrumentation cut point ('sort1', 'tables',
+    'theta', 'moments', 'errs', 'smooth', 'peaks', 'combos') — returns a
+    partial dict early; None = full run.
 
     Returns dict with corners (B, NQ, 4, 2) in decimated pixel coords,
     quad_valid (B, NQ), n_quads (B,), plus stage taps.
@@ -310,6 +311,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     valid_pt = key_s < KEY_INVALID
     seg = segs.segment_ids_from_sorted_keys(key_s, valid=valid_pt,
                                             max_segments=nseg)
+    if _debug_stop == "sort1":
+        return {"seg": seg, "x2": x2, "y2": y2}
 
     # segment size/extent tables (role of the cub ReduceByKey extents pass,
     # apriltag_gpu.cu:829-862). Segment ids are sorted, so sizes come from
@@ -435,6 +438,8 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     mom = jnp.stack([wgt * xc, wgt * yc, wgt * xc * xc, wgt * xc * yc,
                      wgt * yc * yc, wgt], axis=-1)  # (B, K, 6)
     pref = scan.segmented_cumsum_from_starts(mom, start)
+    if _debug_stop == "moments":
+        return {"seg_ok": seg_ok, "count": count, "pref": pref}
 
     # helpers: prefix lookup by position within this point's segment
     # (a single concatenated-index gather for the three lookups was
@@ -539,6 +544,9 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
 
     errs = jnp.where(fit_ok_pt, smoothed, 0.0)
     is_peak = fit_ok_pt & is_peak_lin
+    if _debug_stop == "smooth":
+        return {"seg_ok": seg_ok, "count": count, "errs": errs,
+                "is_peak": is_peak}
 
     # ---- top-10 maxima per segment (peak select/sort/extents,
     #      apriltag_gpu.cu:1001-1078). One sort by (segment, -error) with
@@ -647,6 +655,9 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
                                    axis=2)[..., 0]
     seg_quad_ok = seg_quad_ok & jnp.isfinite(best_err) & \
         (best_err / jnp.maximum(seg_sz, 1) <= MAX_LINE_FIT_MSE)
+    if _debug_stop == "combos":
+        return {"seg_ok": seg_quad_ok, "count": count, "best": best,
+                "best_err": best_err}
 
     # ---- corners from the best combo's 4 lines --------------------------
     def line_params(d, pair_col):

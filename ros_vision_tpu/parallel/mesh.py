@@ -38,31 +38,27 @@ def shard_detector(detector, mesh: Mesh):
     SPMD partitioner to split a pallas_call. The batch is embarrassingly
     parallel (no cross-camera math), so semantics are identical.
     """
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         detector._detect_device, mesh=mesh,
         in_specs=(P("cameras", None, None), P("cameras", None)),
         out_specs=P("cameras"),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
 def shard_detector_packed(detector, mesh: Mesh):
     """shard_detector for the packed-output hot path (VisionNode.submit):
     each device runs detect + pack on its local camera rows."""
-    from jax.experimental.shard_map import shard_map
-
     from ros_vision_tpu.apriltag.detector import pack_outputs
 
     def local(frames, intrinsics):
         return pack_outputs(detector._detect_device(frames, intrinsics))
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("cameras", None, None), P("cameras", None)),
         out_specs=P("cameras", None, None),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

@@ -60,7 +60,8 @@ def main():
     decim, pts = jax.block_until_ready(setup(g))
 
     prev = 0.0
-    for stop in ["tables", "theta", "errs", "peaks", None]:
+    for stop in ["sort1", "tables", "theta", "moments", "errs", "smooth",
+                 "peaks", "combos", None]:
         jf = jax.jit(lambda p, d, s=stop: quadfit.cluster_and_fit(
             p, d, qcfg, _debug_stop=s))
         t0 = time.perf_counter()
