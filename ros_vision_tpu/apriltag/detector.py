@@ -410,27 +410,28 @@ class TPUDetector:
         cfg = self.config
         k_full = pts["key"].shape[1]
         ka = self._active_points
+
+        def slim(out):
+            # only corners + quad_valid cross the lax.cond: every extra
+            # branch output is a copy + (narrow side) a pad
+            # dynamic-update-slice on the chip — the round-3 taps cost
+            # ~300 small async-copies per call (profile, mb_profile_ops)
+            return {"corners": out["corners"], "quad_valid": out["quad_valid"]}
+
         if ka < k_full:
             # compaction places valid candidates first, so when every frame
             # fits in `ka` slots the narrow cluster_and_fit is exact; only
             # overflowing frames pay for full-width sorts
-            def pad_k(x):
-                if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == ka:
-                    widths = [(0, 0)] * x.ndim
-                    widths[1] = (0, k_full - ka)
-                    return jnp.pad(x, widths)
-                return x
-
             def narrow():
                 ptsn = {kk: v[:, :ka] for kk, v in pts.items()}
-                out = quadfit.cluster_and_fit(ptsn, decim, self._qcfg_narrow)
-                return {kk: pad_k(v) for kk, v in out.items()}
+                return slim(quadfit.cluster_and_fit(ptsn, decim,
+                                                    self._qcfg_narrow))
 
             qf = jax.lax.cond(_counts.max() <= ka, narrow,
-                              lambda: quadfit.cluster_and_fit(
-                                  pts, decim, self._qcfg))
+                              lambda: slim(quadfit.cluster_and_fit(
+                                  pts, decim, self._qcfg)))
         else:
-            qf = quadfit.cluster_and_fit(pts, decim, self._qcfg)
+            qf = slim(quadfit.cluster_and_fit(pts, decim, self._qcfg))
         corners = dec.adjust_pixel_centers(qf["corners"])
         qvalid = qf["quad_valid"]
 

@@ -339,14 +339,21 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     cx = (xmin + xmax).astype(jnp.float32) * 0.5 + 0.05118
     cy = (ymin + ymax).astype(jnp.float32) * 0.5 - 0.028581
 
-    # broadcast (cx, cy) to points: one 2-channel slice-gather (monotone
-    # table gathers beat the one-hot MXU formulation here — 0.53 vs 1.40
-    # ms/frame measured, ops/gather_pallas.py docstring)
-    cxy_pt = segs.take1(jnp.stack([cx, cy], -1), seg)
+    # broadcast per-segment constants [start, count, cx, cy] to points in
+    # ONE 4-channel slice-gather (monotone table gathers beat the one-hot
+    # MXU formulation here — 0.53 vs 1.40 ms/frame measured,
+    # ops/gather_pallas.py docstring). Gathered BEFORE the theta sort and
+    # reused after it: the theta sort permutes points only WITHIN their
+    # segment, so every slot keeps its segment and these per-segment
+    # values — the post-sort re-gather the round-3 code did was a
+    # duplicate (chip profile: 3.7 ms/call for the (B, K, 4) gather).
+    ptab = jnp.stack([start_tab.astype(jnp.float32),
+                      count.astype(jnp.float32), cx, cy], axis=-1)
+    pbc = segs.take1(ptab, seg)
     fx2 = x2.astype(jnp.float32)
     fy2 = y2.astype(jnp.float32)
-    dxp = fx2 - cxy_pt[..., 0]
-    dyp = fy2 - cxy_pt[..., 1]
+    dxp = fx2 - pbc[..., 2]
+    dyp = fy2 - pbc[..., 3]
 
     # border-orientation dot product: per-segment sum via prefix-sum
     # differences at segment ends (exact enough in f32: terms are centered)
@@ -390,13 +397,10 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     y2 = pack3 & 0x7FF
     valid_pt = seg < nseg
 
-    # segment starts/counts are order-invariant, so the key-order tables
-    # hold for the theta order too; combined per-segment broadcast
-    # [start, count, cx, cy] via one 4-channel slice-gather
+    # segment starts/counts/centers are order-invariant AND slot-invariant
+    # under the within-segment theta sort, so the pre-sort `pbc` broadcast
+    # is still exact here — no re-gather
     start_tab2 = start_tab
-    ptab = jnp.stack([start_tab2.astype(jnp.float32),
-                      count.astype(jnp.float32), cx, cy], axis=-1)
-    pbc = segs.take1(ptab, seg)
     start = pbc[..., 0].astype(jnp.int32)
     sz_pt = pbc[..., 1].astype(jnp.int32)
     pos = i_global - start
@@ -438,32 +442,46 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     mom = jnp.stack([wgt * xc, wgt * yc, wgt * xc * xc, wgt * xc * yc,
                      wgt * yc * yc, wgt], axis=-1)  # (B, K, 6)
     pref = scan.segmented_cumsum_from_starts(mom, start)
+    # materialize pref ONCE: without the barrier XLA fuses the
+    # (cum - base) epilogue into every downstream windowed gather and
+    # re-runs the (B, K, 6) base gather per consumer — the chip profile
+    # showed the same scan.py:90 gather 4x at 3.7 ms/call each
+    pref = jax.lax.optimization_barrier(pref)
     if _debug_stop == "moments":
-        return {"seg_ok": seg_ok, "count": count, "pref": pref}
+        return {"seg_ok": seg_ok, "count": count, "pref": pref,
+                "start": start, "pos": pos, "sz_pt": sz_pt}
 
     # helpers: prefix lookup by position within this point's segment
     # (a single concatenated-index gather for the three lookups was
     # measured SLOWER on v5e — +0.7 ms/frame at K=65536: the (B, 3K)
     # index/output materialization beats three fusable gathers)
-    def pref_at(position):
+    def pref_at(position, nonneg=False):
         """Inclusive prefix at segment-relative position (clamped >= 0);
-        returns 0 for position < 0."""
+        returns 0 for position < 0 (nonneg=True skips that select when the
+        caller guarantees position >= 0)."""
         posc = jnp.clip(position, 0, k - 1)
         gathered = segs.take1(pref, jnp.clip(start + posc, 0, k - 1))
+        if nonneg:
+            return gathered
         return jnp.where((position >= 0)[..., None], gathered, 0.0)
 
-    total = pref_at(sz_pt - 1)
+    total = pref_at(sz_pt - 1, nonneg=True)
 
     def window_moments(a, bpos):
-        """Circular window [a..bpos] within segment (positions mod sz)."""
+        """Circular window [a..bpos] within segment (positions mod sz).
+
+        Wrap algebra: m_wrap = total - (P(a-1) - P(b)) = m_direct + total,
+        so ONE (B, K, 6) select on `total` replaces selecting between two
+        full window-moment intermediates (measured -0.5 ms/frame at
+        K=65536 B=8 on the relay v5e; f32 rounding order changes within
+        the documented errs-noise envelope)."""
         am = jnp.where(a < 0, a + sz_pt, a)
         bm = jnp.where(bpos >= sz_pt, bpos - sz_pt, bpos)
         direct = am <= bm
-        m_direct = pref_at(bm) - pref_at(am - 1)
-        m_wrap = total - (pref_at(am - 1) - pref_at(bm))
+        mwin = (pref_at(bm, nonneg=True) - pref_at(am - 1)
+                + jnp.where(direct[..., None], 0.0, total))
         n = jnp.where(direct, bm - am + 1, sz_pt - am + bm + 1)
-        return jnp.where(direct[..., None], m_direct, m_wrap), \
-            n.astype(jnp.float32)
+        return mwin, n.astype(jnp.float32)
 
     # ---- windowed errors (DoFitLines, line_fit_filter.cu:340-592) -------
     ksz = jnp.minimum(20, sz_pt // 12)
@@ -529,7 +547,11 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
         [True, True, True, True, False, False, True, True, True, True])
 
     # scatter the repaired values back (duplicate positions write equal
-    # values; positions 3,4 / sz-5,sz-4 equal the roll result anyway)
+    # values; positions 3,4 / sz-5,sz-4 equal the roll result anyway).
+    # (A gather formulation — every point pulling its repair slot from a
+    # (B, NSEG1*10, 2) table — was measured SLOWER on the relay v5e:
+    # +1.37 vs +0.97 ms/frame at K=65536 B=8; the full-width random-index
+    # gather costs more than two ~10k-index scatters.)
     fix_in = (fpos_abs >= 0) & (fpos_abs < count[..., None]) & \
         (count[..., None] >= 2 * fw)
     fgidx_all = jnp.clip(start_tab2[..., None] + fpos_abs, 0, k - 1)

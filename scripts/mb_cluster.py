@@ -59,9 +59,13 @@ def main():
 
     decim, pts = jax.block_until_ready(setup(g))
 
+    stops = ["sort1", "tables", "theta", "moments", "errs", "smooth",
+             "peaks", "combos", None]
+    if os.environ.get("MB_STOPS"):   # e.g. MB_STOPS=none or MB_STOPS=errs,none
+        stops = [None if s in ("none", "None") else s
+                 for s in os.environ["MB_STOPS"].split(",")]
     prev = 0.0
-    for stop in ["sort1", "tables", "theta", "moments", "errs", "smooth",
-                 "peaks", "combos", None]:
+    for stop in stops:
         jf = jax.jit(lambda p, d, s=stop: quadfit.cluster_and_fit(
             p, d, qcfg, _debug_stop=s))
         t0 = time.perf_counter()
