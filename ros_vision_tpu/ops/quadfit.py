@@ -518,21 +518,30 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     eraw = jnp.where(in_seg, segs.take1(
         errs_raw, gidx.reshape(b, -1)).reshape(b, nseg1, 2 * fw), 0.0)
 
-    def tab_at(q):
-        """Raw err at circular position q (B, NSEG1, S); q must lie in
+    def tab_idx(q):
+        """Table slot for circular position q (B, NSEG1, S); q must lie in
         [0, fw) u [sz-fw, sz) — true for every tap used below."""
         qm = jnp.where(q < 0, q + count[..., None], q)
         qm = jnp.where(qm >= count[..., None], qm - count[..., None], qm)
         ti = jnp.where(qm < fw, qm, 2 * fw + qm - count[..., None])
-        ti = jnp.clip(ti, 0, 2 * fw - 1)
-        return jnp.take_along_axis(eraw, ti, axis=2)
+        return jnp.clip(ti, 0, 2 * fw - 1)
 
-    # exact circular smoothing for positions [0,5) u [sz-5,sz)
+    # exact circular smoothing for positions [0,5) u [sz-5,sz): ONE
+    # 7-tap-concatenated take_along_axis (each standalone ~82k-index gather
+    # cost ~0.82 ms/call on the relay v5e — pure per-op overhead for a
+    # 16-wide table — so 7 -> 1 saves ~0.6 ms/frame at B=8); the weighted
+    # sum unrolls in the same j order as the old per-j loop (bit-exact)
     fpos = jnp.concatenate([jnp.arange(5, dtype=jnp.int32),
                             jnp.arange(-5, 0, dtype=jnp.int32)])
     fpos_abs = jnp.where(fpos >= 0, fpos, count[..., None] + fpos)
-    sm_fix = sum(math.exp(-j * j / 2.0) * tab_at(fpos_abs + j)
-                 for j in range(-3, 4))
+    nfix = fpos.shape[0]
+    ti_all = jnp.concatenate([tab_idx(fpos_abs + j) for j in range(-3, 4)],
+                             axis=2)                     # (B, NSEG1, 7*10)
+    tap_all = jnp.take_along_axis(eraw, ti_all, axis=2).reshape(
+        b, nseg1, 7, nfix)
+    sm_fix = jnp.zeros((b, nseg1, nfix), jnp.float32)
+    for jj, j in enumerate(range(-3, 4)):
+        sm_fix = sm_fix + math.exp(-j * j / 2.0) * tap_all[:, :, jj]
     # peaks from the fixed smoothed values. Table layout
     # [0,1,2,3,4, sz-5,sz-4,sz-3,sz-2,sz-1]: the +1/-1 circular neighbors
     # are in-table for every slot except 4 (needs pos 5) and 5 (needs pos
@@ -696,10 +705,10 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     l3 = line_params(fit_rev, 3)
     lines = [l0, l1, l2, l3]
 
-    corners = jnp.zeros((b, nseg1, 4, 2), jnp.float32)
     det_ok = jnp.ones((b, nseg1), jnp.bool_)
     ccx_seg = cx * 0.5 + 0.5
     ccy_seg = cy * 0.5 + 0.5
+    corner_xy = [None] * 4
     for i in range(4):
         li, lj = lines[i], lines[(i + 1) & 3]
         a00, a01 = li["ny"], -lj["ny"]
@@ -711,8 +720,10 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
         l0v = (a11 * b0 - a01 * b1) / jnp.where(det == 0, 1e-12, det)
         px_c = li["ex"] + l0v * a00 + ccx_seg
         py_c = li["ey"] + l0v * a10 + ccy_seg
-        corners = corners.at[:, :, (i + 1) & 3, 0].set(px_c)
-        corners = corners.at[:, :, (i + 1) & 3, 1].set(py_c)
+        corner_xy[(i + 1) & 3] = jnp.stack([px_c, py_c], axis=-1)
+    # stack, not 8 full-table .at[].set()s: each (B, NSEG1, 4, 2)
+    # dynamic-update-slice cost ~0.87 ms/call on the relay v5e profile
+    corners = jnp.stack(corner_xy, axis=2)               # (B, NSEG1, 4, 2)
     seg_quad_ok = seg_quad_ok & det_ok
 
     # area + winding/angle checks (fit_quad epilogue)
