@@ -39,6 +39,8 @@ def main():
         emeta = plane.event_metadata
         smeta = plane.stat_metadata
         for line in plane.lines:
+            if "Module" in line.name:   # whole-program parent events
+                continue
             evs = sorted(line.events, key=lambda e: (e.offset_ps,
                                                      -e.duration_ps))
             # stack-based self time: parent loses child durations

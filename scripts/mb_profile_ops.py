@@ -53,38 +53,16 @@ def main():
 
     xplanes = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
     print("xplane:", xplanes, flush=True)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ctype = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = json.loads(data)
-    # rows: list of dicts or a gviz table; handle both
-    if isinstance(rows, dict) and "rows" in rows:
-        cols = [c["label"] for c in rows["cols"]]
-        recs = [{cols[i]: c["v"] for i, c in enumerate(r["c"])}
-                for r in rows["rows"]]
-    else:
-        recs = rows
-    keyname = None
-    for cand in ("Total self time (us)", "total_self_time_us",
-                 "selfTimeUs", "self_time_us"):
-        if recs and cand in recs[0]:
-            keyname = cand
-            break
-    if keyname is None:
-        print("columns:", list(recs[0].keys()) if recs else "none")
-        keyname = sorted(recs[0].keys())[0]
-    recs.sort(key=lambda r: -float(r.get(keyname, 0) or 0))
-    tot = sum(float(r.get(keyname, 0) or 0) for r in recs)
-    print(f"total self time: {tot/1e3:.2f} ms over 6 calls "
-          f"=> {tot/6e3:.2f} ms/call, {tot/6e3/B:.3f} ms/frame")
-    for r in recs[:TOP]:
-        t = float(r.get(keyname, 0) or 0)
-        name = (r.get("HLO op expression") or r.get("expression")
-                or r.get("HLO op name") or r.get("name") or "?")
-        cat = r.get("HLO op category") or r.get("category") or "?"
-        print(f"{t/6e3:8.3f} ms/call {100*t/max(tot,1):5.1f}% "
-              f"{cat:28s} {str(name)[:150]}")
+    # parse in a subprocess: mb_parse_xplane uses the TF-bundled XSpace
+    # schema with pure-python protobuf (the tensorboard_plugin_profile
+    # converter is incompatible with the installed TF)
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        [sys.executable, os.path.join(here, "mb_parse_xplane.py"),
+         tdir, "6", str(B)],
+        env={**os.environ, "MB_TOP": str(TOP),
+             "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION": "python"})
 
 
 if __name__ == "__main__":
