@@ -46,12 +46,14 @@ class DetectorConfig:
     height: int = 800
     family: str = "tag36h11"
     max_points: int | None = None    # boundary-point capacity K (None =
-    # auto: smallest power of two >= decimated_px/4, in [16384, 131072]).
-    # Auto lands on the two chip-validated operating points: 65536 at
-    # 1280x800 (halving from 131072 measured 26.3 -> 22.7 ms/frame at B=4
-    # with recall intact and grayimage golden corners moving 0.185 px) and
-    # 131072 at 1920x1080 (65536 measured 0.74 px golden corner error vs
-    # the <0.5 px invariant — the cluttered 1080p photo needs the slots).
+    # auto: smallest power of two >= decimated_px/8 in [16384, 131072],
+    # except frames past 2^18 decimated px keep decimated_px/4). Auto
+    # lands on the two chip-validated operating points: 32768 at
+    # 1280x800 (r4: bench scene keeps 4/4 tags at 11.10 vs 12.15
+    # ms/frame B=8, grayimage golden 0.260 px vs oracle on CPU; 16384
+    # drops a bench tag) and 131072 at 1920x1080 (65536 measured
+    # 0.74 px golden corner error vs the <0.5 px invariant — the
+    # cluttered 1080p photo needs the slots).
     max_segments: int = 1024
     max_quads: int = 128
     refine_edges: bool = True
@@ -178,8 +180,15 @@ class TPUDetector:
             config = DetectorConfig(**kw)
         if config.max_points is None:
             dp = (config.height // 2) * (config.width // 2)
+            # dp//8 at production-class frames (32768 at 1280x800 —
+            # chip-validated: bench scene keeps 4/4 tags, grayimage golden
+            # 0.260 px vs oracle on CPU; 16384 drops a bench tag, so the
+            # floor stays one notch above it). Frames past 2^18 decimated
+            # px (1080p class) keep dp//4: the cluttered 1080p golden
+            # needs 131072 (65536 measured 0.74 px vs the 0.5 invariant).
+            div = 4 if dp > (1 << 18) else 8
             mp = 16384
-            while mp < min(max(dp // 4, 16384), 131072):
+            while mp < min(max(dp // div, 16384), 131072):
                 mp *= 2
             config = dataclasses.replace(config, max_points=mp)
         self.config = config
@@ -496,10 +505,18 @@ class TPUDetector:
 
         nq = cfg.max_quads
         na = cfg.max_active_quads
+        # tail-width ladder: refine/decode/pose are traced once per tier
+        # and the narrowest tier whose slots hold every candidate runs
+        # (exact either way — the cond only picks a tier when ALL
+        # survivors fit). The 8-wide tier serves the overwhelmingly
+        # common case (FRC scenes carry <= 8 visible tags; the noisy
+        # bench scene screens to 4) at ~4x fewer refine sample gathers
+        # than the 32-wide tier.
+        tiers = sorted({min(8, na), na})
         if na < nq:
-            def pad(x):
+            def pad(x, w):
                 widths = [(0, 0)] * x.ndim
-                widths[1] = (0, nq - na)
+                widths[1] = (0, nq - w)
                 return jnp.pad(x, widths)
 
             wide = lambda: tail(corners, qvalid)      # noqa: E731
@@ -511,30 +528,46 @@ class TPUDetector:
                 # best code is > screen_hamming bits away cannot become a
                 # detection: the final gate is <= 2 bits, and refine moves
                 # corners well under the ~2 px it would take to flip 3+
-                # bits), then refine/decode/pose only the <= na screened
-                # survivors. Random-texture quads land at hamming ~8-14,
-                # so the screen removes essentially all of them.
+                # bits), then refine/decode/pose only the screened
+                # survivors at the narrowest fitting tier width.
+                # Random-texture quads land at hamming ~8-14, so the
+                # screen removes essentially all of them.
                 pre = dec.decode_quads(gray, corners, qvalid, self.family,
                                        self._code_matrix)
                 screen = qvalid & (pre["hamming"] <= cfg.screen_hamming)
                 prio = jnp.where(screen, pre["margin"], -jnp.inf)
+                # ONE top_k at the widest tier; narrower tiers slice its
+                # prefix (top_k returns descending priority order)
                 _, top_idx = jax.lax.top_k(prio, na)
+                nscreen = screen.sum(axis=1).max()
 
-                def narrow():
-                    c_n = jnp.take_along_axis(
-                        corners, top_idx[..., None, None], axis=1)
-                    v_n = jnp.take_along_axis(screen, top_idx, axis=1)
-                    return jax.tree_util.tree_map(pad, tail(c_n, v_n))
+                def narrow(w):
+                    def f():
+                        c_n = jnp.take_along_axis(
+                            corners, top_idx[:, :w, None, None], axis=1)
+                        v_n = jnp.take_along_axis(screen, top_idx[:, :w],
+                                                  axis=1)
+                        return jax.tree_util.tree_map(
+                            lambda x: pad(x, w), tail(c_n, v_n))
+                    return f
 
-                return jax.lax.cond(screen.sum(axis=1).max() <= na,
-                                    narrow, wide)
+                branch = wide
+                for w in sorted(tiers, reverse=True):
+                    branch = functools.partial(
+                        jax.lax.cond, nscreen <= w, narrow(w), branch)
+                return branch()
             # no-refine path: quads are area-priority ordered, so when
-            # every frame's valid quads fit in the first `na` slots the
+            # every frame's valid quads fit in the first `w` slots the
             # narrow branch is exact; busier frames take the full width
-            narrow = lambda: jax.tree_util.tree_map(  # noqa: E731
-                pad, tail(corners[:, :na], qvalid[:, :na]))
-            return jax.lax.cond(qvalid.sum(axis=1).max() <= na,
-                                narrow, wide)
+            nvalid = qvalid.sum(axis=1).max()
+            branch = wide
+            for w in sorted(tiers, reverse=True):
+                branch = functools.partial(
+                    jax.lax.cond, nvalid <= w,
+                    (lambda w=w: jax.tree_util.tree_map(
+                        lambda x: pad(x, w),
+                        tail(corners[:, :w], qvalid[:, :w]))), branch)
+            return branch()
         return tail(corners, qvalid)
 
     # ---- host API --------------------------------------------------------
