@@ -198,7 +198,9 @@ class TPUDetector:
             max_points=config.max_points,
             max_segments=config.max_segments,
             max_quads=config.max_quads,
-            tag_width=max(3, self.family.border_size // dec.QUAD_DECIMATE))
+            tag_width=max(3, self.family.border_size // dec.QUAD_DECIMATE),
+            normal_border=not self.family.reversed_border,
+            reversed_border=self.family.reversed_border)
         ka = config.active_points
         if ka is None:
             ka = config.max_points // 4 if config.max_points >= 32768 \
@@ -459,7 +461,8 @@ class TPUDetector:
                 c = dec.refine_edges(
                     gray, c, qvalid,
                     (fxs, fys, cxs, cys) if use_dist else None,
-                    dist if use_dist else None)
+                    dist if use_dist else None,
+                    reversed_border=self.family.reversed_border)
             d = dec.decode_quads(gray, c, qvalid, self.family,
                                  self._code_matrix)
             ok = d["ok"]

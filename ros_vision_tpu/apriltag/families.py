@@ -31,6 +31,10 @@ class TagFamily:
     grid_size: int            # modules per side of the data grid (6 for 36h11)
     min_hamming: int          # guaranteed min distance of the family
     codes: np.ndarray         # (n_codes, 4) uint64, all four rotations
+    reversed_border: bool = False   # border ring is WHITE inside a black
+    # surround (the reference's rcode families, apriltag_utils.cu:10-33:
+    # tagCircle*/tagStandard*/tagCustom*); the detected quad's gradient
+    # points INTO the tag and the border gray models swap polarity.
     # Total tag side in modules incl. the 1-module black border ring and the
     # 1-module white quiet zone is grid_size + 2 (+2); the detected quad spans
     # the outer edge of the black border: grid_size + 2 modules.
@@ -54,12 +58,14 @@ class TagFamily:
         return np.array(bits, np.uint8).reshape(self.grid_size, self.grid_size)
 
     def render(self, tag_id: int, module_px: int = 1) -> np.ndarray:
-        """Render the canonical tag image (incl. black border + white quiet
-        zone), uint8 {0, 255}. Total side = (grid_size + 4) * module_px."""
+        """Render the canonical tag image (incl. border + quiet zone),
+        uint8 {0, 255}. Total side = (grid_size + 4) * module_px.
+        Normal families: black border, white quiet zone; reversed
+        families invert both ring colors (data bits stay 1 = white)."""
         g = self.grid_size
         img = np.zeros((g + 4, g + 4), np.uint8)
-        img[:] = 255                      # white quiet zone
-        img[1:-1, 1:-1] = 0               # black border
+        img[:] = 0 if self.reversed_border else 255     # quiet zone
+        img[1:-1, 1:-1] = 255 if self.reversed_border else 0   # border
         img[2:-2, 2:-2] = self.code_grid(tag_id) * 255
         if module_px != 1:
             img = np.kron(img, np.ones((module_px, module_px), np.uint8))
@@ -71,11 +77,13 @@ def get_family(name: str = "tag36h11") -> TagFamily:
     data = np.load(_DATA_PATH)
     try:
         codes = data[f"{name}_codes"]
-        n, ms, h = data[f"{name}_meta"]
+        meta = data[f"{name}_meta"]
     except KeyError as e:
         raise ValueError(f"unknown tag family {name!r}") from e
-    return TagFamily(name=name, grid_size=int(ms), min_hamming=int(h),
-                     codes=codes)
+    ms, h = int(meta[1]), int(meta[2])
+    rev = bool(meta[3]) if len(meta) > 3 else False
+    return TagFamily(name=name, grid_size=ms, min_hamming=h, codes=codes,
+                     reversed_border=rev)
 
 
 def list_families() -> list[str]:

@@ -353,7 +353,7 @@ def fit_quad(pts: np.ndarray, decim: np.ndarray, tag_width: int = 4,
 
 
 def refine_edges(gray: np.ndarray, corners: np.ndarray,
-                 intrinsics=None, dist=None):
+                 intrinsics=None, dist=None, reversed_border: bool = False):
     """Subpixel edge refinement on the full-res gray image (apriltag
     refine_edges; frc971 variant fits in undistorted space when calibration
     is provided, apriltag_detect.cu:404-...)."""
@@ -385,7 +385,9 @@ def refine_edges(gray: np.ndarray, corners: np.ndarray,
                         and 0 <= y2 < h):
                     g1 = int(gray[y1, x1])
                     g2 = int(gray[y2, x2])
-                    if g1 >= g2:
+                    # normal tags: darker inside (g1 outside >= g2
+                    # inside); reversed-border families invert
+                    if (g2 >= g1) if reversed_border else (g1 >= g2):
                         weight = (g2 - g1) * (g2 - g1)
                         xo = x0 + n * nx
                         yo = y0 + n * ny
@@ -457,6 +459,9 @@ def quad_decode(gray: np.ndarray, corners: np.ndarray, family: TagFamily):
         (0.5, -0.5, 1, 0, True), (0.5, 0.5, 1, 0, False),
         (0.5, wb + 0.5, 1, 0, True), (0.5, wb - 0.5, 1, 0, False),
     ]
+    if family.reversed_border:
+        # white ring INSIDE the quad edge, black surround outside
+        patterns = [(sx, sy, dx, dy, not w) for sx, sy, dx, dy, w in patterns]
     for sx, sy, dx, dy, is_white in patterns:
         for i in range(wb):
             tagx = 2 * ((sx + i * dx) / wb - 0.5)
@@ -584,7 +589,9 @@ class OracleDetector:
         for key, pts in clusters.items():
             if len(pts) > max_perimeter:
                 continue
-            q = fit_quad(pts.astype(np.float64), decim, tag_width=tag_width)
+            q = fit_quad(pts.astype(np.float64), decim, tag_width=tag_width,
+                         normal_border=not self.family.reversed_border,
+                         reversed_border=self.family.reversed_border)
             if q is not None:
                 quads.append(q)
 
@@ -596,7 +603,8 @@ class OracleDetector:
         if self.fx is not None:
             intr = (self.fx, self.fy, self.cx, self.cy)
         if self.refine:
-            quads_full = [refine_edges(gray, q, intr, self.dist)
+            quads_full = [refine_edges(gray, q, intr, self.dist,
+                                       self.family.reversed_border)
                           for q in quads_full]
 
         dets = []

@@ -88,12 +88,15 @@ def render_scene(
                 pts = np.stack([px, py, ones], -1) @ hinv.T
                 tx = pts[..., 0] / pts[..., 2]
                 ty = pts[..., 1] / pts[..., 2]
-                # Classify in tag frame
+                # Classify in tag frame; reversed-border families invert
+                # the quiet-zone/border ring colors (families.render)
+                qz_v, bd_v = (0.0, 255.0) if fam.reversed_border \
+                    else (255.0, 0.0)
                 val = np.full(px.shape, background, np.float64)
                 in_qz = (tx >= -1) & (tx < g + 3) & (ty >= -1) & (ty < g + 3)
-                val = np.where(in_qz, 255.0, val)  # quiet zone white
+                val = np.where(in_qz, qz_v, val)
                 in_border = (tx >= 0) & (tx < g + 2) & (ty >= 0) & (ty < g + 2)
-                val = np.where(in_border, 0.0, val)  # black border
+                val = np.where(in_border, bd_v, val)
                 in_data = (tx >= 1) & (tx < g + 1) & (ty >= 1) & (ty < g + 1)
                 ix = np.clip(np.floor(tx - 1).astype(int), 0, g - 1)
                 iy = np.clip(np.floor(ty - 1).astype(int), 0, g - 1)

@@ -139,7 +139,8 @@ def _distort(px, py, intr, dist):
 
 
 def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
-                 quad_valid: jnp.ndarray, intr=None, dist=None):
+                 quad_valid: jnp.ndarray, intr=None, dist=None,
+                 reversed_border: bool = False):
     """Batched subpixel edge refinement (refine_edges + the frc971
     undistortion variant). corners (B, NQ, 4, 2) full-res. Returns
     refined corners.
@@ -159,11 +160,12 @@ def refine_edges(gray: jnp.ndarray, corners: jnp.ndarray,
     return jax.lax.switch(
         tier,
         [functools.partial(_refine_edges_core, gray, corners, quad_valid,
-                           intr, dist, n) for n in REFINE_ALPHA_TIERS])
+                           intr, dist, n, reversed_border)
+         for n in REFINE_ALPHA_TIERS])
 
 
 def _refine_edges_core(gray, corners, quad_valid, intr, dist,
-                       n_alpha: int):
+                       n_alpha: int, reversed_border: bool = False):
     b, nq = corners.shape[:2]
     gray_f = gray.astype(jnp.float32)
     have_dist = intr is not None and dist is not None
@@ -213,7 +215,10 @@ def _refine_edges_core(gray, corners, quad_valid, intr, dist,
     ok1 = oku[..., gsteps:]
     g2 = gu[..., :REFINE_NORMAL_STEPS]      # at n - grange
     ok2 = oku[..., :REFINE_NORMAL_STEPS]
-    ok = ok1 & ok2 & (g1 >= g2) & s_ok[..., None]
+    # edge polarity gate: normal tags are darker INSIDE the quad
+    # (g1 outside >= g2 inside); reversed-border families invert it
+    pol = (g2 >= g1) if reversed_border else (g1 >= g2)
+    ok = ok1 & ok2 & pol & s_ok[..., None]
     wgt = jnp.where(ok, (g2 - g1) * (g2 - g1), 0.0)
     xo = x0b + noffb * nxb
     yo = y0b + noffb * nyb
@@ -298,13 +303,19 @@ def project(H: jnp.ndarray, tx, ty):
 
 
 @functools.lru_cache(maxsize=8)
-def _decode_tables(grid_size: int, border_size: int):
-    """Static sample-coordinate tables for a family geometry."""
+def _decode_tables(grid_size: int, border_size: int,
+                   reversed_border: bool = False):
+    """Static sample-coordinate tables for a family geometry. Reversed-
+    border families (white ring inside the quad edge, black surround —
+    apriltag_utils.cu:10-33 rcode families) flip each border pattern's
+    white/black label; sample positions are identical."""
     wb = border_size
     pats = [(-0.5, 0.5, 0, 1, 1), (0.5, 0.5, 0, 1, 0),
             (wb + 0.5, 0.5, 0, 1, 1), (wb - 0.5, 0.5, 0, 1, 0),
             (0.5, -0.5, 1, 0, 1), (0.5, 0.5, 1, 0, 0),
             (0.5, wb + 0.5, 1, 0, 1), (0.5, wb - 0.5, 1, 0, 0)]
+    if reversed_border:
+        pats = [(sx, sy, dx, dy, 1 - w) for sx, sy, dx, dy, w in pats]
     tx, ty, is_white = [], [], []
     for sx, sy, dx, dy, w in pats:
         for i in range(wb):
@@ -343,7 +354,8 @@ def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
     gray_f = gray.astype(jnp.float32)
     H = quad_homographies(corners)
     wb = family.border_size
-    (btx, bty, bwhite), (dtx, dty) = _decode_tables(family.grid_size, wb)
+    (btx, bty, bwhite), (dtx, dty) = _decode_tables(
+        family.grid_size, wb, family.reversed_border)
     btx = jnp.asarray(btx)
     bty = jnp.asarray(bty)
     bwhite = jnp.asarray(bwhite)

@@ -64,7 +64,8 @@ def _stages(det):
             intr = (cfg.fx, cfg.fy, cfg.cx, cfg.cy) if any(cfg.dist) else None
             dist = jnp.asarray(cfg.dist, jnp.float32) if any(cfg.dist) \
                 else None
-            c = dec.refine_edges(gray, c, st["quad_valid"], intr, dist)
+            c = dec.refine_edges(gray, c, st["quad_valid"], intr, dist,
+                                 reversed_border=fam.reversed_border)
         return {"corners_full": c}
 
     # (stage taps use the static config intrinsics; per-camera arrays go
