@@ -204,12 +204,25 @@ def main():
                 out = det._fn(g, intr)                   # compile + warm
                 np.asarray(out["ok"]).sum()
 
+                # deployment-shaped consumption (exactly vision_node's
+                # submit/unpack): async D2H enqueued at dispatch, host
+                # read per output. block_until_ready per call costs a
+                # ~25 ms relay sync ping that SERIALIZES the stream and
+                # dominates any call shorter than the ping (it measured
+                # B=1 at 27.5 ms when the device time is ~12.6); the
+                # async-read form measures what a pipelined consumer
+                # actually pays. Every output is read.
                 t0 = time.time()
-                outs = [det._fn(g, intr) for _ in range(iters)]
+                outs = []
+                for _ in range(iters):
+                    o = det._fn(g, intr)
+                    try:
+                        o["ok"].copy_to_host_async()
+                    except Exception:
+                        pass
+                    outs.append(o)
                 for o in outs:
-                    o["ok"].block_until_ready()
-                _ = np.asarray(outs[-1]["ok"]).sum()
-                _ = np.asarray(outs[0]["ok"]).sum()
+                    _ = np.asarray(o["ok"]).sum()
                 dt = (time.time() - t0) / iters
                 fps = batch / dt
                 points[batch] = {"fps": round(fps, 2),
@@ -250,6 +263,23 @@ def main():
     # best-batch call time is a throughput figure, not per-frame latency
     if 1 in points:
         out["p50_latency_ms"] = points[1]["latency_ms"]
+        # RTT-vs-compute account: per-call SYNC roundtrip (dispatch ->
+        # block -> host read, no pipelining) — what a non-pipelined
+        # consumer pays on the relay; ~= max(relay sync ping ~25 ms,
+        # device compute). On-board deployment has no relay ping.
+        try:
+            g1 = jnp.asarray(img[None])
+            i1 = jnp.asarray(det.default_intrinsics(1))
+            np.asarray(det._fn(g1, i1)["ok"]).sum()
+            lat = []
+            for _ in range(iters):
+                ts = time.perf_counter()
+                _ = np.asarray(det._fn(g1, i1)["ok"]).sum()
+                lat.append(time.perf_counter() - ts)
+            out["b1_sync_roundtrip_ms"] = round(
+                float(np.percentile(lat, 50)) * 1e3, 2)
+        except Exception:
+            pass
 
     # cross-resolution point: the reference's 1920x1080 golden photo
     # through a 1080p detector (exactly one tag must decode —

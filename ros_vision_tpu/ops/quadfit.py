@@ -37,6 +37,9 @@ from ros_vision_tpu.ops import segments as segs
 
 MIN_BLOB_PIXELS = 25
 MIN_CLUSTER_POINTS = 24
+# segment size past which windowed-err moments switch to the block-local
+# (conditioning-stable) formulation — see _errs_stable in cluster_and_fit
+ERRS_STABLE_MIN_SZ = 2048
 MAX_NMAXIMA = 10
 MAX_LINE_FIT_MSE = 10.0
 COS_CRITICAL_RAD = math.cos(10 * math.pi / 180)
@@ -486,8 +489,64 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     # ---- windowed errors (DoFitLines, line_fit_filter.cu:340-592) -------
     ksz = jnp.minimum(20, sz_pt // 12)
     fit_ok_pt = valid_pt & (ksz >= 2)
-    mwin, nwin = window_moments(pos - ksz, pos + ksz)
-    errs = fit_line_f32(mwin, nwin)["err"]
+
+    def _errs_fast():
+        mwin, nwin = window_moments(pos - ksz, pos + ksz)
+        return fit_line_f32(mwin, nwin)["err"]
+
+    def _errs_stable():
+        """Block-local windowed moments for GIANT segments.
+
+        The fast path subtracts two segment-prefix values whose f32 ulp
+        grows with segment length x coordinate spread: measured on a
+        1120-px-edge tag (6960-point segment), mid-edge err came out
+        ~190 vs the f64 truth 2.9 — above the ~80 corner signal, so the
+        top-10 peaks all landed mid-edge and the quad was lost (the
+        reference's integer fixed-point accumulators are exact here,
+        points.h:169-279). This path re-forms every window from
+        block-inclusive prefixes + per-block totals
+        (scan.blocked_cumsum_parts): a window (<= 41 points) spans at
+        most two blocks, so every subtraction cancels values bounded by
+        ONE block's content and the rounding no longer scales with
+        segment size. Costs ~4 extra (B, K, 6) gathers — only paid when
+        the scene actually contains a segment past the gate below."""
+        local, totals, blk = scan.blocked_cumsum_parts(mom)
+        nb = totals.shape[1]
+
+        def lrs(g0, g1, live):
+            """Sum of mom over GLOBAL index range [g0..g1] (g0<=g1,
+            span < blk); `live` masks empty/invalid ranges."""
+            g0c = jnp.clip(g0, 0, k - 1)
+            g1c = jnp.clip(g1, 0, k - 1)
+            j0 = g0c // blk
+            l1 = segs.take1(local, g1c)
+            l0 = jnp.where(((g0c % blk) > 0)[..., None],
+                           segs.take1(local, jnp.maximum(g0c - 1, 0)), 0.0)
+            cross = (g1c // blk) > j0
+            t0 = segs.take1(totals, jnp.clip(j0, 0, nb - 1))
+            m = jnp.where(cross[..., None], l1 + t0 - l0, l1 - l0)
+            return jnp.where(live[..., None], m, 0.0)
+
+        a = pos - ksz
+        bp = pos + ksz
+        wrap_lo = a < 0
+        wrap_hi = bp >= sz_pt
+        p1a = start + jnp.maximum(a, 0)
+        p1b = start + jnp.minimum(bp, sz_pt - 1)
+        p2a = jnp.where(wrap_lo, start + sz_pt + a, start)
+        p2b = jnp.where(wrap_lo, start + sz_pt - 1, start + bp - sz_pt)
+        mwin = (lrs(p1a, p1b, fit_ok_pt)
+                + lrs(p2a, p2b, fit_ok_pt & (wrap_lo | wrap_hi)))
+        nwin = (2 * ksz + 1).astype(jnp.float32)
+        return fit_line_f32(mwin, nwin)["err"]
+
+    # giant segments (> 2048 points ~ >330 decimated-px edges) are where
+    # the fast path's rounding passes ~1/3 of the corner signal; they
+    # only occur on near-frame-filling tags, so typical scenes never pay
+    # the stable path's extra gathers
+    errs = jax.lax.cond(
+        jnp.max(jnp.where(valid_pt, sz_pt, 0)) > ERRS_STABLE_MIN_SZ,
+        _errs_stable, _errs_fast)
     errs = jnp.where(fit_ok_pt, errs, 0.0)
     if _debug_stop == "errs":
         return {"seg_ok": seg_ok, "count": count, "errs": errs}

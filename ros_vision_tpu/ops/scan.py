@@ -69,6 +69,37 @@ def cumsum_mxu(x: jnp.ndarray, axis: int = -1,
     return out
 
 
+def blocked_cumsum_parts(data: jnp.ndarray, blk: int = 128):
+    """Blocked prefix-sum PARTS along axis 1 of (B, K, C): returns
+    (local, totals, blk) where local (B, K, C) is the block-INCLUSIVE
+    prefix (resets every `blk` elements) and totals (B, NB, C) are the
+    per-block sums. Sums over short ranges (span <= blk) can then be
+    formed from values whose magnitude is bounded by ONE block's content
+    — the f32 rounding of a windowed difference scales with the block
+    magnitude instead of the global/segment prefix magnitude (the
+    conditioning fix for giant-segment windowed moments; see
+    quadfit _errs_stable). blk=128 measured on a 6960-point segment:
+    mid-edge errs land within ~3 of the f64 truth vs ~160 corrupted at
+    blk=512 (content ulp 8 vs 32) — callers' windows must span < blk."""
+    b, k, c = data.shape
+    if k < blk:
+        blk = max(8, 1 << (k - 1).bit_length())
+    pad = (-k) % blk
+    dm = jnp.moveaxis(data, -1, 1)                       # (B, C, K)
+    if pad:
+        dm = jnp.pad(dm, ((0, 0), (0, 0), (0, pad)))
+    nb = dm.shape[-1] // blk
+    xb = dm.reshape(b, c, nb, blk).astype(jnp.float32)
+    lt = _lt_matrix(blk)
+    inblock = jax.lax.dot_general(
+        xb, lt, (((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    totals = xb.sum(-1)                                  # (B, C, NB)
+    local = jnp.moveaxis(inblock.reshape(b, c, nb * blk)[..., :k], 1, -1)
+    return local, jnp.moveaxis(totals, 1, -1), blk
+
+
 def segmented_cumsum_from_starts(data: jnp.ndarray,
                                  start_idx: jnp.ndarray) -> jnp.ndarray:
     """Inclusive segmented cumsum along axis 1 of (B, K[, C]) given the

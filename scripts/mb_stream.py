@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Instrumented replica of VisionSystem.spin (bench.py streaming config 5):
+per-iteration phase timers to locate where the streaming loop period goes.
+
+Phases per loop iteration (mirrors launch.VisionSystem.spin):
+  pull    — FramePipe.pull_batch(wait_new=True) wait for a fresh frame
+  submit  — detect_raw_packed dispatch + copy_to_host_async enqueue
+  unpack  — detector.unpack(pending) (device wait + D2H readback)
+  publish — host-side per-camera transform + NT4 publish + CSV row
+
+Run on the relay chip: JAX_COMPILATION_CACHE_DIR must be set; only one
+TPU process at a time.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/ros_vision_tpu_jaxcache")
+
+import numpy as np
+
+
+def main():
+    import csv as csvmod
+    import json as jsonmod
+    import tempfile
+
+    import cv2
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.config.loader import ConfigLoader
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+    from ros_vision_tpu.runtime.nt4 import NT4TestServer
+
+    img, _ = render_scene(
+        [0, 42, 311, 100],
+        [simple_square_corners(300, 250, 90),
+         simple_square_corners(800, 400, 110, angle_deg=20),
+         simple_square_corners(450, 600, 70, angle_deg=-35),
+         simple_square_corners(1000, 600, 60, angle_deg=50)],
+        1280, 800, noise_sigma=1.0)
+
+    nt_server = NT4TestServer()
+    rot = [[0, 0, 1], [-1, 0, 0], [0, -1, 0]]
+    cams = {f"mock{i}": {"location": loc, "format": "MJPG", "height": 800,
+                         "width": 1280, "frame_rate": 100,
+                         "api_preference": "ANY"}
+            for i, loc in enumerate(["center_front", "left_front",
+                                     "right_front", "back"])}
+    cfg = {
+        "camera_mounted_positions": cams,
+        "extrinsics": {c["location"]: {"rotation": rot,
+                                       "offset": [0.0, 0.0, 0.0]}
+                       for c in cams.values()},
+        "network_tables_config": {"table_address": "127.0.0.1",
+                                  "table_name": "/SmartDashboard",
+                                  "port": nt_server.port},
+    }
+    tmp = tempfile.mkdtemp()
+    cfg_path = os.path.join(tmp, "system_config.json")
+    with open(cfg_path, "w") as f:
+        jsonmod.dump(cfg, f)
+    ConfigLoader.set_config_file_path(cfg_path)
+    try:
+        bgr = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+        def factory(ident, idx):
+            def frames(n):
+                time.sleep(0.01)
+                return bgr
+            return MockCamera(width=1280, height=800, frame_factory=frames)
+
+        system = VisionSystem(
+            measurement_mode=True,
+            timing_csv_path=os.path.join(tmp, "timing.csv"),
+            enable_viewer=False, enable_nt=True,
+            camera_map={k: i for i, k in enumerate(cams)},
+            camera_factory=factory,
+            detector_overrides=dict(fx=900.0, fy=900.0, cx=640.0,
+                                    cy=400.0, estimate_pose=True))
+        system.start()
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if any(r[0] for r in system.spin_once()):
+                break
+
+        # instrumented spin: same structure as VisionSystem.spin; the
+        # unpack phase is timed by wrapping detector.unpack so the REAL
+        # process_batch (incl. publishes) runs unmodified
+        node, pipe = system.node, system.pipe
+        unpack_times = []
+        orig_unpack = node.detector.unpack
+
+        def unpack_timed(p):
+            t = time.perf_counter()
+            r = orig_unpack(p)
+            unpack_times.append(time.perf_counter() - t)
+            return r
+        node.detector.unpack = unpack_timed
+
+        phases = {k: [] for k in ("pull", "submit", "process", "loop")}
+        pending = None
+        pending_frames = None
+        pending_stamps = None
+        n_iters = int(os.environ.get("MB_STREAM_ITERS", "120"))
+        for it in range(n_iters):
+            t_loop = time.perf_counter()
+            frames, ids, stamps = pipe.pull_batch(wait_new=True)
+            t0 = time.perf_counter()
+            nxt = node.submit(frames)
+            t1 = time.perf_counter()
+            if pending is not None:
+                node.process_batch(pending_frames,
+                                   [s / 1e9 for s in pending_stamps],
+                                   pending=pending)
+            t3 = time.perf_counter()
+            pending, pending_frames, pending_stamps = nxt, frames, stamps
+            phases["pull"].append(t0 - t_loop)
+            phases["submit"].append(t1 - t0)
+            phases["process"].append(t3 - t1)
+            phases["loop"].append(t3 - t_loop)
+        phases["unpack"] = unpack_times
+        phases["publish"] = list(np.array(phases["process"][1:])
+                                 - np.array(unpack_times))
+        for k, v in phases.items():
+            v = np.array(v[10:]) * 1e3
+            print(f"{k:8s} p50 {np.percentile(v, 50):7.2f}  "
+                  f"p95 {np.percentile(v, 95):7.2f} ms")
+        loop = np.array(phases["loop"][10:])
+        print(f"-> {1.0 / loop.mean():.2f} batches/s "
+              f"({1.0 / loop.mean():.2f} fps/cam)")
+        system.stop()
+    finally:
+        ConfigLoader.set_config_file_path(None)
+        ConfigLoader.reload_config()
+        nt_server.close()
+
+
+if __name__ == "__main__":
+    main()
