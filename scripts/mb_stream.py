@@ -105,36 +105,41 @@ def main():
         node.detector.unpack = unpack_timed
 
         phases = {k: [] for k in ("pull", "submit", "process", "loop")}
-        pending = None
-        pending_frames = None
-        pending_stamps = None
+        from collections import deque
+        depth = int(os.environ.get("MB_STREAM_DEPTH", "1"))
+        pend = deque()
         n_iters = int(os.environ.get("MB_STREAM_ITERS", "120"))
+        lat = []
         for it in range(n_iters):
             t_loop = time.perf_counter()
             frames, ids, stamps = pipe.pull_batch(wait_new=True)
             t0 = time.perf_counter()
-            nxt = node.submit(frames)
+            pend.append((node.submit(frames), frames, stamps))
             t1 = time.perf_counter()
-            if pending is not None:
-                node.process_batch(pending_frames,
-                                   [s / 1e9 for s in pending_stamps],
-                                   pending=pending)
+            while len(pend) > depth:
+                p, pf, ps = pend.popleft()
+                node.process_batch(pf, [s / 1e9 for s in ps], pending=p)
+                lat.append(time.time() - ps[0] / 1e9)
             t3 = time.perf_counter()
-            pending, pending_frames, pending_stamps = nxt, frames, stamps
             phases["pull"].append(t0 - t_loop)
             phases["submit"].append(t1 - t0)
             phases["process"].append(t3 - t1)
             phases["loop"].append(t3 - t_loop)
         phases["unpack"] = unpack_times
-        phases["publish"] = list(np.array(phases["process"][1:])
-                                 - np.array(unpack_times))
+        n = min(len(phases["process"]) - depth, len(unpack_times))
+        phases["publish"] = list(np.array(phases["process"][depth:depth + n])
+                                 - np.array(unpack_times[:n]))
         for k, v in phases.items():
             v = np.array(v[10:]) * 1e3
             print(f"{k:8s} p50 {np.percentile(v, 50):7.2f}  "
                   f"p95 {np.percentile(v, 95):7.2f} ms")
         loop = np.array(phases["loop"][10:])
-        print(f"-> {1.0 / loop.mean():.2f} batches/s "
+        print(f"-> depth={depth} {1.0 / loop.mean():.2f} batches/s "
               f"({1.0 / loop.mean():.2f} fps/cam)")
+        if lat:
+            la = np.array(lat[10:]) * 1e3
+            print(f"   capture->publish p50 {np.percentile(la, 50):.1f} "
+                  f"p95 {np.percentile(la, 95):.1f} ms")
         system.stop()
     finally:
         ConfigLoader.set_config_file_path(None)
