@@ -417,25 +417,29 @@ class VisionSystem:
                     f"cameras/{ch.location}/image_raw/compressed", frame)
         return results
 
-    def spin(self) -> None:
-        """Pipelined loop: dispatch detection for batch N+1 while the host
-        publishes batch N (the device computes during host-side NT/viewer
-        work — capture->pose latency stays one pipeline stage deep).
+    #: in-flight batches carried by spin() before the oldest is consumed.
+    #: Depth sweep on the relay (scripts/mb_stream.py, r4): depth 1 =
+    #: 12.35 fps/cam p50 229 ms, depth 2 = 15.92 fps/cam p50 193.6 ms,
+    #: depth 3 = 14.57 fps/cam p50 282 ms (batches pile up — the same
+    #: failure mode as the r3 free-running publisher-thread variant, 5.3
+    #: fps / p50 759 ms). Depth 2 wins both axes: an ISOLATED detector
+    #: call is ~120 ms dispatch->readable on the relay (deep transport
+    #: pipeline) while queued throughput is ~40 ms/call, so one extra
+    #: in-flight batch hides the transport latency without queue growth.
+    pipeline_depth = 2
 
-        Measured on the relay (bench.py streaming): this depth-1 inline
-        form runs 6.2 fps/camera at p50 291 ms; a publisher-thread
-        variant that let the main loop free-run (submit as fast as
-        frames arrive, worker fetches) measured WORSE on both axes
-        (5.3 fps, p50 759 ms — batches pile up in the device queue and
-        every readback waits behind them), so the inline backpressure
-        is load-bearing."""
-        pending = None
-        pending_frames = None
-        pending_stamps = None
+    def spin(self) -> None:
+        """Pipelined loop: keep `pipeline_depth` detection batches in
+        flight; consume (unpack + publish) the oldest while the device
+        works on the newer ones. Bounded depth is load-bearing — see
+        pipeline_depth."""
+        from collections import deque
+        pend = deque()
         while self._running:
             frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
-            nxt = self.node.submit(frames)
-            if pending is not None:
+            pend.append((self.node.submit(frames), frames, stamps))
+            while len(pend) > self.pipeline_depth:
+                pending, pending_frames, pending_stamps = pend.popleft()
                 self.node.process_batch(pending_frames,
                                         [s / 1e9 for s in pending_stamps],
                                         pending=pending)
@@ -444,7 +448,6 @@ class VisionSystem:
                         self.bag.write_image(
                             f"cameras/{ch.location}/image_raw/compressed",
                             frame)
-            pending, pending_frames, pending_stamps = nxt, frames, stamps
 
     def stop(self) -> None:
         self._running = False

@@ -33,7 +33,7 @@ DECODE_SHARPENING = 0.25
 MAX_HAMMING = 2
 REFINE_ALPHA_TIERS = (32, 64, 128)   # static sample-grid supersets; per
 # edge the reference's length-adaptive count max(16, edge_len/8)
-# (apriltag_detect.cu:360) is realized by masking samples beyond each
+# (apriltag_detect.cu:428) is realized by masking samples beyond each
 # edge's own count. A lax.switch picks the smallest tier covering the
 # longest valid edge: 32 -> 256 full-res px, 64 -> 512 px (the 1080p tag
 # regime, 300-500 px edges), 128 -> 1024 px (a tag filling a 1080p frame).
@@ -180,7 +180,7 @@ def _refine_edges_core(gray, corners, quad_valid, intr, dist,
     ny = ny / mag_safe
 
     # length-adaptive sample count per edge: nsamples = max(16, len/8)
-    # (apriltag refine_edges; apriltag_detect.cu:360), realized on the
+    # (apriltag refine_edges; apriltag_detect.cu:428), realized on the
     # static n_alpha-sample grid by masking samples s >= nsamples
     s = jnp.arange(n_alpha, dtype=jnp.float32)
     ns = jnp.clip(jnp.maximum(16.0, jnp.floor(mag / 8.0)), 16,
