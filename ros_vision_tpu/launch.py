@@ -245,16 +245,17 @@ class VisionSystem:
             if calib is not None and intrinsics is None:
                 intrinsics = calib
 
-            def to_gray(frame):
-                import cv2
-                return cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-
             # camera_factory is the DI seam (the reference's CameraPublisher
             # takes a CameraInterface the same way, camera_publisher.cpp:63)
+            # BGR frames go straight to the ring: FrameRing.push converts
+            # BGR->gray natively in-slot (cv2-bit-exact, off-GIL) — the
+            # capture thread no longer pays a cvtColor pass + extra copy
+            # per frame (the reference's per-frame BGR->YUYV conversion
+            # cost, apriltags_cuda_detector.cu:399-401).
             camera = camera_factory(ident, idx) if camera_factory \
                 else OpenCVCamera()
             pub = CameraPublisher(camera, cam, device=idx,
-                                  ring=self.pipe.rings[i], to_gray=to_gray)
+                                  ring=self.pipe.rings[i])
             self.publishers.append(pub)
             if perf.enable_optimizations:
                 apply_performance_config(perf, core_index=i)

@@ -37,8 +37,15 @@ def _load_native():
             lib.frame_ring_destroy.argtypes = [ctypes.c_void_p]
             lib.frame_ring_push.restype = ctypes.c_uint64
             lib.frame_ring_push.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
                 ctypes.c_int64]
+            try:  # stale .so built before the BGR fast path is fine
+                lib.frame_ring_push_bgr.restype = ctypes.c_uint64
+                lib.frame_ring_push_bgr.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                    ctypes.c_int64]
+            except AttributeError:
+                lib.frame_ring_push_bgr = None
             lib.frame_ring_latest.restype = ctypes.c_uint32
             lib.frame_ring_latest.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
@@ -51,6 +58,16 @@ def _load_native():
 
 
 _NATIVE = _load_native()
+
+
+def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
+    """BGR8 -> gray, bit-exact vs cv2.cvtColor(COLOR_BGR2GRAY) (OpenCV's
+    fixed-point form: (B*3735 + G*19235 + R*9798 + 2^14) >> 15). Python
+    fallback for the native ring's in-slot conversion."""
+    b = bgr[..., 0].astype(np.uint32)
+    g = bgr[..., 1].astype(np.uint32)
+    r = bgr[..., 2].astype(np.uint32)
+    return ((b * 3735 + g * 19235 + r * 9798 + 16384) >> 15).astype(np.uint8)
 
 
 class FrameRing:
@@ -76,11 +93,25 @@ class FrameRing:
         return self._native is not None
 
     def push(self, frame: np.ndarray, timestamp_ns: int = 0) -> int:
+        """Publish a frame. Accepts (H, W) gray or (H, W, 3) BGR8 — BGR is
+        converted to gray in the ring (natively, off-GIL and straight into
+        the slot; cv2-bit-exact either way). The buffer is handed to the
+        native side by pointer: ctypes releases the GIL for the call, so
+        the copy/convert runs concurrently with other capture threads."""
         buf = np.ascontiguousarray(frame)
+        is_bgr = buf.ndim == 3 and buf.shape[-1] == 3
         if self._native is not None:
+            if is_bgr and _NATIVE.frame_ring_push_bgr is not None:
+                return int(_NATIVE.frame_ring_push_bgr(
+                    self._native, buf.ctypes.data_as(ctypes.c_void_p),
+                    buf.nbytes // 3, int(timestamp_ns)))
+            if is_bgr:
+                buf = bgr_to_gray(buf)
             return int(_NATIVE.frame_ring_push(
-                self._native, buf.tobytes(), buf.nbytes,
-                int(timestamp_ns)))
+                self._native, buf.ctypes.data_as(ctypes.c_void_p),
+                buf.nbytes, int(timestamp_ns)))
+        if is_bgr:
+            buf = bgr_to_gray(buf)
         with self._lock:
             fid = self._head
             self._slots[fid % self._n_slots] = buf.copy()
@@ -89,11 +120,19 @@ class FrameRing:
             self._head += 1
             return fid
 
-    def latest(self, last_seen_id: int = -1):
+    def latest(self, last_seen_id: int = -1, out: np.ndarray | None = None):
         """Newest frame newer than last_seen_id, or None.
-        Returns (frame bytes-1D uint8, frame_id, timestamp_ns)."""
+        Returns (frame bytes-1D uint8, frame_id, timestamp_ns).
+
+        Pass `out` (C-contiguous uint8, >= frame_bytes elements) to have
+        the frame written in place (skips one allocation + copy per pull —
+        pull_batch hands the batch-tensor row straight in). NOTE on a
+        None return with the native ring, `out` may hold a partial frame
+        (a torn seqlock read aborts after the copy) — callers must treat
+        `out` as garbage unless a frame was returned."""
         if self._native is not None:
-            out = np.empty(self.frame_bytes, np.uint8)
+            if out is None:
+                out = np.empty(self.frame_bytes, np.uint8)
             fid = ctypes.c_uint64()
             ts = ctypes.c_int64()
             n = _NATIVE.frame_ring_latest(
@@ -102,7 +141,7 @@ class FrameRing:
                 ctypes.byref(ts))
             if n == 0:
                 return None
-            return out[:n], int(fid.value), int(ts.value)
+            return out.reshape(-1)[:n], int(fid.value), int(ts.value)
         with self._lock:
             if self._head == 0:
                 return None
@@ -111,6 +150,10 @@ class FrameRing:
                 return None
             buf = self._slots[fid % self._n_slots]
             meta = self._meta[fid % self._n_slots]
+            if out is not None:
+                flat = out.reshape(-1)
+                flat[:buf.size] = buf.reshape(-1)
+                return flat[:buf.size], meta[0], meta[1]
             return buf.reshape(-1), meta[0], meta[1]
 
     @property
@@ -159,10 +202,11 @@ class FramePipe:
         while True:
             got_new = False
             for i, ring in enumerate(self.rings):
-                r = ring.latest(self._last[i] if wait_new else -1)
+                # frames land straight in the batch row (no temp buffer)
+                r = ring.latest(self._last[i] if wait_new else -1,
+                                out=batch[i])
                 if r is not None:
-                    buf, fid, ts = r
-                    batch[i] = buf[:h * w].reshape(h, w)
+                    _, fid, ts = r
                     ids[i] = fid
                     self._last[i] = fid
                     self._stamps[i] = ts
@@ -170,4 +214,7 @@ class FramePipe:
             if got_new or not wait_new or time.monotonic() > deadline:
                 break
             time.sleep(0.0005)
+        for i in range(len(self.rings)):
+            if ids[i] < 0:
+                batch[i] = 0     # torn/absent reads must not leak garbage
         return batch, ids, list(self._stamps)

@@ -76,6 +76,45 @@ def test_frame_pipe_batch():
     assert batch[1].sum() == 0 and ids[1] == -1
 
 
+@pytest.mark.parametrize("force_python", [True, False])
+def test_frame_ring_bgr_push_matches_cv2(force_python):
+    """FrameRing.push accepts BGR8 and converts in-ring, bit-exact vs
+    cv2.cvtColor(COLOR_BGR2GRAY) — the capture thread no longer runs a
+    separate cvtColor pass (the reference's per-frame conversion cost,
+    apriltags_cuda_detector.cu:399-401)."""
+    import cv2
+
+    from ros_vision_tpu.runtime.frame_pipe import FrameRing, bgr_to_gray
+    rng = np.random.default_rng(7)
+    bgr = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    assert np.array_equal(bgr_to_gray(bgr), ref)
+    ring = FrameRing(48 * 64, n_slots=4, force_python=force_python)
+    ring.push(bgr, timestamp_ns=55)
+    buf, fid, ts = ring.push_result = ring.latest()
+    assert fid == 0 and np.array_equal(buf.reshape(48, 64), ref)
+    ring.close()
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_frame_ring_latest_into_out_buffer(force_python):
+    """latest(out=) writes the frame in place (pull_batch's zero-alloc
+    path) and pull_batch zeroes rows that saw no frame."""
+    from ros_vision_tpu.runtime.frame_pipe import FramePipe, FrameRing
+    ring = FrameRing(16, n_slots=4, force_python=force_python)
+    f = np.arange(16, dtype=np.uint8)
+    ring.push(f)
+    out = np.full(16, 99, np.uint8)
+    buf, fid, ts = ring.latest(out=out)
+    assert np.array_equal(out, f) and buf.base is not None
+    ring.close()
+    pipe = FramePipe(2, 4, 4)
+    pipe.push(0, np.full((4, 4), 3, np.uint8))
+    batch, ids, _ = pipe.pull_batch()
+    assert batch[0, 0, 0] == 3 and ids == [0, -1]
+    assert batch[1].sum() == 0     # absent camera row stays zeroed
+
+
 # ---- camera publisher with mock + failure injection -----------------------
 
 def test_camera_publisher_mock():
