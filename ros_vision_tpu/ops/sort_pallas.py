@@ -77,7 +77,12 @@ def _make_sort_kernel(nrows, nops, num_keys):
                 eq = part[kk] == planes[kk]
                 o_lt = (part[kk] < planes[kk]) | (eq & o_lt)
                 s_lt = (planes[kk] < part[kk]) | (eq & s_lt)
-            take = jnp.where(want_min, o_lt, s_lt)
+            # NOT jnp.where(want_min, o_lt, s_lt): a vector select whose
+            # BRANCH OPERANDS are i1 crashes the Mosaic compile helper
+            # (exit 1, no diagnostic) — bisected r4, the single construct
+            # behind every "bitonic kernels crash the helper" failure
+            # since r3. Pure i1 logic compiles and is the same function.
+            take = (want_min & o_lt) | (~want_min & s_lt)
             return [jnp.where(take, o, p) for o, p in zip(part, planes)]
 
         def inner_rows(t, carry):
