@@ -105,8 +105,9 @@ class DetectorConfig:
     use_pallas_sort: bool | None = None   # VMEM bitonic network
     # (ops/sort_pallas.py) for the three (B, K) cluster_and_fit sorts
     # instead of lax.sort — identical outputs (all operands are keys).
-    # None = auto: TPU backend AND a probe compile of the sort kernels
-    # succeeds (same Mosaic-helper insurance as use_fused_frontend).
+    # None = OFF: the kernels compile (r4 fixed the Mosaic i1-select
+    # crash) but measured slower in-detector than lax.sort (10.53 vs
+    # 10.08 ms/frame, K=32768 B=8). True opts in for experiments.
     route_compaction: bool | None = None   # pure-XLA monotone-routing
     # stream compaction (ops/segments.compact_route) for the two
     # boundary_points compactions instead of lax.sort — bit-identical
@@ -295,15 +296,19 @@ class TPUDetector:
             return False
 
     def _resolve_pallas_sort(self) -> bool:
-        """Resolve use_pallas_sort=None: TPU backend + a probe compile of
-        the bitonic kernels at BOTH cluster shapes (full K and the narrow
-        active-points K — different network sizes are separate Mosaic
-        programs) in both key arities."""
+        """Resolve use_pallas_sort=None: OFF. The bitonic kernels compile
+        now (the r3-era Mosaic crash was an i1-operand vector select,
+        fixed r4) but MEASURED SLOWER in-detector than lax.sort on the
+        v5e chip (10.53 vs 10.08 ms/frame at K=32768 B=8, bit-parity) —
+        fusion boundaries favor lax.sort. Auto therefore never picks
+        them; pass use_pallas_sort=True to opt in for experiments."""
         ups = self.config.use_pallas_sort
         if ups is not None:
             return ups
-        if jax.default_backend() not in ("tpu", "axon"):
-            return False
+        return False
+
+    def _probe_pallas_sort_compiles(self) -> bool:
+        """Former auto probe, kept for experiments/regression checks."""
         try:
             from ros_vision_tpu.ops.sort_pallas import sort_tpu
 
