@@ -431,19 +431,30 @@ class VisionSystem:
 
     def spin(self) -> None:
         """Pipelined loop: keep `pipeline_depth` detection batches in
-        flight; consume (unpack + publish) the oldest while the device
-        works on the newer ones. Bounded depth is load-bearing — see
-        pipeline_depth."""
+        flight; consume (unpack) the oldest while the device works on the
+        newer ones. Bounded depth is load-bearing — see pipeline_depth.
+        Host-side overlap (r4): the next batch's H2D upload is enqueued
+        BEFORE the blocking unpack so the frame transfer rides the device
+        wait, and the per-camera publish work runs on the node's deferred
+        worker thread — the loop period then tracks max(device, transport)
+        instead of device + ~20 ms of serial host work."""
         from collections import deque
         pend = deque()
+        frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
+        dev = self.node.upload(frames)
         while self._running:
+            pend.append((self.node.submit(dev), frames, stamps))
+            # prefetch + upload the NEXT batch now: the H2D transfer and
+            # the camera wait_new both ride the blocking unpack below
+            # instead of extending the loop after it
             frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
-            pend.append((self.node.submit(frames), frames, stamps))
+            dev = self.node.upload(frames)
             while len(pend) > self.pipeline_depth:
                 pending, pending_frames, pending_stamps = pend.popleft()
                 self.node.process_batch(pending_frames,
                                         [s / 1e9 for s in pending_stamps],
-                                        pending=pending)
+                                        pending=pending,
+                                        defer_publish=True)
                 if self.bag is not None:
                     for ch, frame in zip(self.channels, pending_frames):
                         self.bag.write_image(

@@ -69,36 +69,96 @@ class VisionNode:
                 self._queues[ch.location] = PublisherQueue(
                     ch.image_publisher, max_queue_size=1,
                     name=f"imgpub_{ch.location}")
+        self._intr_dev = None       # lazily device-staged intrinsics
+        self._pub_q = None          # deferred-publish FIFO + worker
+        self._pub_worker = None
 
     def transform_camera_to_robot(self, ch: CameraChannel,
                                   p_cam: np.ndarray) -> np.ndarray:
         return ch.extrinsic_rotation @ np.asarray(p_cam) + \
             ch.extrinsic_offset
 
-    def submit(self, frames: np.ndarray):
+    def upload(self, frames: np.ndarray):
+        """Enqueue the H2D transfer of a frame batch and return the device
+        array (the pinned-buffer MemcpyAsync half of the reference's
+        double buffering, cuda_frc971.h:107-145): jax.device_put returns
+        as soon as the transfer is enqueued, so calling this BEFORE
+        consuming the previous batch overlaps the ~4 MB frame upload with
+        the device wait. Falls back to the host array for DI fakes."""
+        try:
+            import jax
+            return jax.device_put(frames)
+        except Exception:
+            return frames
+
+    def _intrinsics_for_submit(self):
+        """Device-staged intrinsics: uploaded once, reused every call
+        (the rows are per-camera constants — re-transferring a (B, 9)
+        host array every batch costs a relay enqueue for nothing)."""
+        if self.intrinsics is None:
+            return None
+        if self._intr_dev is None:
+            try:
+                import jax
+                self._intr_dev = jax.device_put(
+                    np.asarray(self.intrinsics, np.float32))
+            except Exception:
+                self._intr_dev = self.intrinsics
+        return self._intr_dev
+
+    def submit(self, frames):
         """Asynchronously dispatch detection for a frame batch (returns the
         raw device output handle — computation overlaps host work; the
         double-buffering role of the reference's pinned-memory MemcpyAsync,
-        cuda_frc971.h:107-145). Uses the PACKED output form: the whole
+        cuda_frc971.h:107-145). `frames` may be the host batch or the
+        device array from upload(). Uses the PACKED output form: the whole
         result comes back in one device->host transfer (one relay RTT
         instead of one per output-tree leaf), and the D2H copy is enqueued
         ASYNCHRONOUSLY here so it streams back as soon as the device
         finishes — by the time process_batch() unpacks the pending batch
         the host buffer is already populated and np.asarray doesn't pay
         the relay round-trip at read time."""
-        out = self.detector.detect_raw_packed(frames, self.intrinsics)
+        out = self.detector.detect_raw_packed(
+            frames, self._intrinsics_for_submit())
         try:
             out.copy_to_host_async()
         except (AttributeError, RuntimeError):  # DI fakes / odd backends
             pass
         return out
 
+    def _ensure_pub_worker(self):
+        """Single FIFO worker for deferred publishing: never drops (NT
+        data is an every-frame contract), bounded so a stalled consumer
+        backpressures the spin loop instead of growing the queue."""
+        if self._pub_worker is None:
+            import queue
+            import threading
+            self._pub_q = queue.Queue(maxsize=8)
+
+            def run():
+                while True:
+                    item = self._pub_q.get()
+                    if item is None:
+                        return
+                    try:
+                        self._publish_batch(*item)
+                    except Exception:
+                        log.exception("deferred publish failed")
+
+            self._pub_worker = threading.Thread(
+                target=run, daemon=True, name="vision_pub")
+            self._pub_worker.start()
+
     def process_batch(self, frames: np.ndarray, capture_stamps=None,
-                      pending=None):
+                      pending=None, defer_publish: bool = False):
         """frames (B, H, W) uint8 -> per-camera detection lists (robot
         frame), publishing side effects included. Returns list of
         (detections, robot_positions). Pass `pending` (from submit()) to
-        consume a previously dispatched batch instead of detecting inline."""
+        consume a previously dispatched batch instead of detecting inline.
+        With defer_publish=True the per-camera publish work (transforms,
+        NT4, protobuf, CSV) runs on a dedicated worker thread and None is
+        returned — the streaming loop's host time then tracks the device
+        wait instead of serializing ~6 ms of publish work behind it."""
         t_recv = time.monotonic()
         stamps = capture_stamps or [time.time()] * len(self.channels)
 
@@ -116,6 +176,14 @@ class VisionNode:
         if frames.ndim == 2:
             batch_dets = [batch_dets]
 
+        if defer_publish:
+            self._ensure_pub_worker()
+            self._pub_q.put((batch_dets, frames, stamps, t_recv, det_time))
+            return None
+        return self._publish_batch(batch_dets, frames, stamps, t_recv,
+                                   det_time)
+
+    def _publish_batch(self, batch_dets, frames, stamps, t_recv, det_time):
         results = []
         for i, (ch, dets) in enumerate(zip(self.channels, batch_dets)):
             robot_pos = []
@@ -204,6 +272,10 @@ class VisionNode:
         return img
 
     def stop(self):
+        if self._pub_worker is not None:
+            self._pub_q.put(None)          # drain then exit
+            self._pub_worker.join(timeout=10)
+            self._pub_worker = None
         for q in self._queues.values():
             q.stop()
         if self.timing is not None:

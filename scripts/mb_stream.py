@@ -104,27 +104,70 @@ def main():
             return r
         node.detector.unpack = unpack_timed
 
-        phases = {k: [] for k in ("pull", "submit", "process", "loop")}
+        phases = {k: [] for k in ("submit", "pull", "upload", "process",
+                                  "loop")}
         from collections import deque
         depth = int(os.environ.get("MB_STREAM_DEPTH", "1"))
+        defer = os.environ.get("MB_STREAM_DEFER", "1") == "1"
         pend = deque()
         n_iters = int(os.environ.get("MB_STREAM_ITERS", "120"))
         lat = []
-        for it in range(n_iters):
-            t_loop = time.perf_counter()
-            frames, ids, stamps = pipe.pull_batch(wait_new=True)
-            t0 = time.perf_counter()
-            pend.append((node.submit(frames), frames, stamps))
-            t1 = time.perf_counter()
-            while len(pend) > depth:
-                p, pf, ps = pend.popleft()
-                node.process_batch(pf, [s / 1e9 for s in ps], pending=p)
+        if os.environ.get("MB_STREAM_THREADED", "0") == "1":
+            # producer/consumer split: submitter thread does pull + H2D +
+            # dispatch; this thread consumes at device cadence. Queue
+            # depth bounds in-flight batches (backpressure, no pile-up).
+            import queue
+            import threading
+            q = queue.Queue(maxsize=depth)
+            stop_flag = [False]
+
+            def submitter():
+                while not stop_flag[0]:
+                    fr, _ids, st = pipe.pull_batch(wait_new=True)
+                    ts = time.perf_counter()
+                    p = node.submit(fr)
+                    phases["submit"].append(time.perf_counter() - ts)
+                    q.put((p, fr, st))
+
+            th = threading.Thread(target=submitter, daemon=True)
+            th.start()
+            for it in range(n_iters):
+                t_loop = time.perf_counter()
+                p, pf, ps = q.get()
+                t2 = time.perf_counter()
+                node.process_batch(pf, [s / 1e9 for s in ps], pending=p,
+                                   defer_publish=defer)
                 lat.append(time.time() - ps[0] / 1e9)
-            t3 = time.perf_counter()
-            phases["pull"].append(t0 - t_loop)
-            phases["submit"].append(t1 - t0)
-            phases["process"].append(t3 - t1)
-            phases["loop"].append(t3 - t_loop)
+                t3 = time.perf_counter()
+                phases["pull"].append(t2 - t_loop)   # queue wait
+                phases["upload"].append(0.0)
+                phases["process"].append(t3 - t2)
+                phases["loop"].append(t3 - t_loop)
+            stop_flag[0] = True
+        else:
+            # mirrors VisionSystem.spin (r4): submit first, then prefetch +
+            # upload the next batch so H2D and wait_new ride the unpack wait
+            frames, ids, stamps = pipe.pull_batch(wait_new=True)
+            dev = node.upload(frames)
+            for it in range(n_iters):
+                t_loop = time.perf_counter()
+                pend.append((node.submit(dev), frames, stamps))
+                t0 = time.perf_counter()
+                frames, ids, stamps = pipe.pull_batch(wait_new=True)
+                t1 = time.perf_counter()
+                dev = node.upload(frames)
+                t2 = time.perf_counter()
+                while len(pend) > depth:
+                    p, pf, ps = pend.popleft()
+                    node.process_batch(pf, [s / 1e9 for s in ps], pending=p,
+                                       defer_publish=defer)
+                    lat.append(time.time() - ps[0] / 1e9)
+                t3 = time.perf_counter()
+                phases["submit"].append(t0 - t_loop)
+                phases["pull"].append(t1 - t0)
+                phases["upload"].append(t2 - t1)
+                phases["process"].append(t3 - t2)
+                phases["loop"].append(t3 - t_loop)
         phases["unpack"] = unpack_times
         n = min(len(phases["process"]) - depth, len(unpack_times))
         phases["publish"] = list(np.array(phases["process"][depth:depth + n])
