@@ -41,12 +41,16 @@ def streaming_bench(img, duration_s: float = 12.0):
     """BASELINE.json config 5: four concurrent 1280x800 camera streams
     through VisionSystem.spin end-to-end — capture thread -> frame ring ->
     H2D -> detector -> unpack -> NT4 publish (in-process NT server), with
-    the pipelined submit/unpack overlap. Mock cameras pace at the 100 fps
-    camera target. Returns (per_camera_fps, p50_ms, p95_ms): per-camera
-    processed-frame rate (cameras outpace the pipeline; drop-oldest rings
-    skip frames, the reference's QoS-depth-1 behavior) and capture->pose
-    latency percentiles. NOTE the axon relay adds ~46 ms host<->device RTT
-    per readback that on-board deployment would not pay."""
+    the pipelined submit/unpack overlap under the latency-bounded adaptive
+    pipeline depth. Each camera serves a DISTINCT scene (per-camera decode
+    and unpack content is not artificially coherent). Mock cameras pace at
+    the 100 fps camera target. Returns (per_camera_fps, p50_ms, p95_ms,
+    phases): per-camera processed-frame rate (cameras outpace the
+    pipeline; drop-oldest rings skip frames, the reference's QoS-depth-1
+    behavior), capture->pose latency percentiles, and the spin loop's
+    per-phase accounting so a latency regression is attributable from the
+    bench artifact alone. NOTE the axon relay adds ~46 ms host<->device
+    RTT per readback that on-board deployment would not pay."""
     import csv as csvmod
     import json as jsonmod
     import tempfile
@@ -81,9 +85,24 @@ def streaming_bench(img, duration_s: float = 12.0):
     csv_path = os.path.join(tmp, "timing.csv")
     ConfigLoader.set_config_file_path(cfg_path)
     try:
-        bgr = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        from ros_vision_tpu.apriltag.render import (render_scene,
+                                                    simple_square_corners)
+        scenes = [img]
+        for k, (ids, specs) in enumerate([
+                ([7, 19], [(350, 300, 95, 10), (900, 450, 80, -25)]),
+                ([63, 200, 471], [(260, 220, 100, 0), (760, 380, 70, 40),
+                                  (1050, 620, 85, -15)]),
+                ([3], [(640, 400, 120, 30)])]):
+            g, _ = render_scene(
+                ids, [simple_square_corners(x, y, s, angle_deg=a)
+                      for x, y, s, a in specs], 1280, 800,
+                noise_sigma=1.0)
+            scenes.append(g)
+        bgrs = [cv2.cvtColor(s, cv2.COLOR_GRAY2BGR) for s in scenes]
 
         def factory(ident, idx):
+            bgr = bgrs[idx % len(bgrs)]
+
             def frames(n):
                 time.sleep(0.01)          # 100 fps camera pacing
                 return bgr
@@ -119,8 +138,15 @@ def streaming_bench(img, duration_s: float = 12.0):
         lat_us = [float(r["latency_us"]) for r in rows]
         lat_ms = np.percentile(lat_us, [50, 95]) / 1e3 if lat_us else [0, 0]
         fps = (len(rows) / len(cams)) / (elapsed * 0.75)
-        return round(fps, 2), round(float(lat_ms[0]), 1), \
-            round(float(lat_ms[1]), 1)
+        phases = dict(system.spin_stats or {})
+        n = max(1, phases.get("batches", 1))
+        for k in ("pull_ms", "submit_ms", "consume_ms"):
+            if k in phases:          # totals -> per-batch means
+                phases[k] = round(phases[k] / n, 2)
+        phases["publish_dropped"] = system.node.publish_dropped
+        phases["publish_count"] = system.node.publish_count
+        return (round(fps, 2), round(float(lat_ms[0]), 1),
+                round(float(lat_ms[1]), 1), phases)
     finally:
         ConfigLoader.set_config_file_path(None)
         ConfigLoader.reload_config()
@@ -313,11 +339,12 @@ def main():
     # incl. H2D, unpack, NT publish) through VisionSystem.spin
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         try:
-            sfps, p50, p95 = streaming_bench(img)
+            sfps, p50, p95, phases = streaming_bench(img)
             out["streaming_cameras"] = 4
             out["streaming_fps_per_camera"] = sfps
             out["e2e_p50_ms"] = p50
             out["e2e_p95_ms"] = p95
+            out["streaming_phases"] = phases
             out["e2e_note"] = ("axon relay adds ~46 ms host<->device RTT "
                                "per readback vs on-board deployment")
         except Exception as e:  # never lose the primary metric

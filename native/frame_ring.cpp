@@ -46,7 +46,10 @@ inline int64_t now_ns() {
   return static_cast<int64_t>(ts.tv_sec) * 1000000000LL + ts.tv_nsec;
 }
 
-// BGR8 -> gray8, bit-exact vs OpenCV COLOR_BGR2GRAY fixed point. The
+// BGR8 -> gray8, bit-exact vs OpenCV >= 5 COLOR_BGR2GRAY fixed point
+// ((B*3735 + G*19235 + R*9798 + 2^14) >> 15; OpenCV <= 4.x used
+// (B*1868 + G*9617 + R*4899) >> 14, which differs by 1 LSB on ~0.26% of
+// BGR triples). The
 // target_clones multi-versioning keeps the shipped .so portable while the
 // loader picks the AVX-512/AVX2 clone at runtime (measured 0.70 ms/Mpx
 // vectorized vs 2.4 ms scalar on the dev host — faster than OpenCV's own
@@ -134,9 +137,10 @@ uint64_t frame_ring_push(void* h, const uint8_t* buf, uint32_t size,
 // converting directly into the ring slot — one pass over the source with
 // no intermediate gray buffer (and ctypes releases the GIL for the call,
 // so the conversion runs off-GIL, unlike a Python-side cv2.cvtColor +
-// copy). Fixed-point coefficients are bit-exact vs OpenCV's
+// copy). Fixed-point coefficients are bit-exact vs OpenCV >= 5's
 // COLOR_BGR2GRAY: gray = (B*3735 + G*19235 + R*9798 + 2^14) >> 15
-// (verified exhaustively in tests/test_runtime.py). This is the
+// (verified exhaustively vs installed cv2 in tests/test_runtime.py;
+// OpenCV <= 4.x's 14-bit variant differs by 1 LSB on ~0.26% of triples). This is the
 // capture-thread hot path the reference pays as BGR->YUYV + DDS transport
 // (apriltags_cuda_detector.cu:399-401).
 uint64_t frame_ring_push_bgr(void* h, const uint8_t* bgr, uint32_t n_px,

@@ -400,6 +400,7 @@ class VisionSystem:
                                timing_csv_path=timing_csv_path,
                                intrinsics=self.intrinsics)
         self.channels = channels
+        self.spin_stats = None     # populated by spin()
         self._running = False
 
     def start(self) -> None:
@@ -418,48 +419,94 @@ class VisionSystem:
                     f"cameras/{ch.location}/image_raw/compressed", frame)
         return results
 
-    #: in-flight batches carried by spin() before the oldest is consumed.
-    #: Depth sweep on the relay (scripts/mb_stream.py, r4): depth 1 =
-    #: 12.35 fps/cam p50 229 ms, depth 2 = 15.92 fps/cam p50 193.6 ms,
-    #: depth 3 = 14.57 fps/cam p50 282 ms (batches pile up — the same
-    #: failure mode as the r3 free-running publisher-thread variant, 5.3
-    #: fps / p50 759 ms). Depth 2 wins both axes: an ISOLATED detector
-    #: call is ~120 ms dispatch->readable on the relay (deep transport
-    #: pipeline) while queued throughput is ~40 ms/call, so one extra
-    #: in-flight batch hides the transport latency without queue growth.
+    #: MAX in-flight batches carried by spin() before the oldest is
+    #: consumed. Depth sweep on the relay (scripts/mb_stream.py, r4):
+    #: depth 1 = 12.35 fps/cam p50 229 ms, depth 2 = 15.92 fps/cam p50
+    #: 193.6 ms, depth 3 = 14.57 fps/cam p50 282 ms (batches pile up —
+    #: the same failure mode as the r3 free-running publisher-thread
+    #: variant, 5.3 fps / p50 759 ms). Depth 2 wins both axes WHEN the
+    #: host keeps up: an ISOLATED detector call is ~120 ms
+    #: dispatch->readable on the relay (deep transport pipeline) while
+    #: queued throughput is ~40 ms/call, so one extra in-flight batch
+    #: hides the transport latency without queue growth.
     pipeline_depth = 2
+    #: capture->consume latency budget (seconds). Depth is ADAPTIVE under
+    #: this bound: e2e latency scales ~(depth+1) loop periods, so on a
+    #: loaded host (the r4 official capture ran a 104 ms loop vs the
+    #: replica's 63 ms) a FIXED depth 2 blows the latency budget (452 ms
+    #: p50 official vs 193 replica) while costing nothing to shed — the
+    #: loop drops to depth 1/0 until the measured latency recovers. The
+    #: reference's implied budget is its 50 ms camera QoS deadline
+    #: (camera_publisher.cpp:115-116); the relay default adds the ~120 ms
+    #: dispatch->readable transport the on-board deployment doesn't pay.
+    latency_budget_s = 0.25
 
     def spin(self) -> None:
-        """Pipelined loop: keep `pipeline_depth` detection batches in
-        flight; consume (unpack) the oldest while the device works on the
-        newer ones. Bounded depth is load-bearing — see pipeline_depth.
-        Host-side overlap (r4): the next batch's H2D upload is enqueued
-        BEFORE the blocking unpack so the frame transfer rides the device
-        wait, and the per-camera publish work runs on the node's deferred
-        worker thread — the loop period then tracks max(device, transport)
-        instead of device + ~20 ms of serial host work."""
+        """Pipelined loop: keep up to `pipeline_depth` detection batches
+        in flight; consume (unpack) the oldest while the device works on
+        the newer ones. Depth adapts under latency_budget_s — see
+        pipeline_depth/latency_budget_s. Host-side overlap (r4): the next
+        batch's H2D upload is enqueued BEFORE the blocking unpack so the
+        frame transfer rides the device wait, and the per-camera publish
+        work runs on the node's deferred worker thread — the loop period
+        then tracks max(device, transport) instead of device + ~20 ms of
+        serial host work. Per-phase timing accumulates in self.spin_stats
+        (surfaced by bench.py) so a latency regression is attributable."""
         from collections import deque
+        stats = self.spin_stats = {
+            "batches": 0, "pull_ms": 0.0, "submit_ms": 0.0,
+            "consume_ms": 0.0, "latency_ema_ms": 0.0, "depth": 0,
+            "depth_downshifts": 0, "depth_upshifts": 0,
+        }
+        ema = None
+        depth = self.pipeline_depth
         pend = deque()
         frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
         dev = self.node.upload(frames)
         while self._running:
+            t0 = time.monotonic()
             pend.append((self.node.submit(dev), frames, stamps))
+            t1 = time.monotonic()
             # prefetch + upload the NEXT batch now: the H2D transfer and
             # the camera wait_new both ride the blocking unpack below
             # instead of extending the loop after it
             frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
             dev = self.node.upload(frames)
-            while len(pend) > self.pipeline_depth:
+            t2 = time.monotonic()
+            while len(pend) > depth:
                 pending, pending_frames, pending_stamps = pend.popleft()
                 self.node.process_batch(pending_frames,
                                         [s / 1e9 for s in pending_stamps],
                                         pending=pending,
                                         defer_publish=True)
+                # capture->consumed latency of the freshest camera row;
+                # the publish worker adds at most publish_queue_depth
+                # batches on top (bounded drop-oldest)
+                lat = time.time() - max(pending_stamps) / 1e9
+                ema = lat if ema is None else 0.8 * ema + 0.2 * lat
                 if self.bag is not None:
                     for ch, frame in zip(self.channels, pending_frames):
                         self.bag.write_image(
                             f"cameras/{ch.location}/image_raw/compressed",
                             frame)
+            t3 = time.monotonic()
+            stats["batches"] += 1
+            stats["submit_ms"] += (t1 - t0) * 1e3
+            stats["pull_ms"] += (t2 - t1) * 1e3
+            stats["consume_ms"] += (t3 - t2) * 1e3
+            if ema is not None:
+                stats["latency_ema_ms"] = round(ema * 1e3, 1)
+                # hysteresis: shed depth when over budget (each step
+                # removes ~1 loop period of e2e latency), restore only
+                # when comfortably under so the depth doesn't oscillate
+                if ema > self.latency_budget_s and depth > 0:
+                    depth -= 1
+                    stats["depth_downshifts"] += 1
+                elif ema < 0.6 * self.latency_budget_s and \
+                        depth < self.pipeline_depth:
+                    depth += 1
+                    stats["depth_upshifts"] += 1
+            stats["depth"] = depth
 
     def stop(self) -> None:
         self._running = False

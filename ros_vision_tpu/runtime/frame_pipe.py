@@ -61,9 +61,18 @@ _NATIVE = _load_native()
 
 
 def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
-    """BGR8 -> gray, bit-exact vs cv2.cvtColor(COLOR_BGR2GRAY) (OpenCV's
-    fixed-point form: (B*3735 + G*19235 + R*9798 + 2^14) >> 15). Python
-    fallback for the native ring's in-slot conversion."""
+    """BGR8 -> gray, matching cv2.cvtColor(COLOR_BGR2GRAY). Prefers cv2
+    itself (SIMD + releases the GIL — the pure-numpy math holds the GIL
+    for milliseconds per 1280x800 frame, which at 4 cameras x 100 fps
+    starves every other thread); the numpy fallback implements OpenCV
+    >= 5's fixed-point form ((B*3735 + G*19235 + R*9798 + 2^14) >> 15;
+    OpenCV <= 4.x used a 14-bit variant differing by 1 LSB on ~0.26% of
+    triples)."""
+    try:
+        import cv2
+        return cv2.cvtColor(np.ascontiguousarray(bgr), cv2.COLOR_BGR2GRAY)
+    except ImportError:
+        pass
     b = bgr[..., 0].astype(np.uint32)
     g = bgr[..., 1].astype(np.uint32)
     r = bgr[..., 2].astype(np.uint32)
@@ -101,7 +110,11 @@ class FrameRing:
         buf = np.ascontiguousarray(frame)
         is_bgr = buf.ndim == 3 and buf.shape[-1] == 3
         if self._native is not None:
-            if is_bgr and _NATIVE.frame_ring_push_bgr is not None:
+            # the native BGR path reads raw bytes 3-at-a-time — only
+            # valid for uint8 input (other dtypes fall through to the
+            # Python conversion below)
+            if is_bgr and buf.dtype == np.uint8 \
+                    and _NATIVE.frame_ring_push_bgr is not None:
                 return int(_NATIVE.frame_ring_push_bgr(
                     self._native, buf.ctypes.data_as(ctypes.c_void_p),
                     buf.nbytes // 3, int(timestamp_ns)))
@@ -194,14 +207,24 @@ class FramePipe:
 
     def pull_batch(self, wait_new: bool = False, timeout_s: float = 0.1):
         """(B, H, W) uint8 batch of the newest frames + per-camera
-        (frame_id, timestamp) lists. Cameras with no frame yet give zeros."""
+        (frame_id, timestamp) lists. Cameras with no frame yet give zeros.
+
+        With wait_new, waits (up to timeout_s) for EVERY camera to have a
+        frame newer than the previous pull — not just any one: an
+        any-camera return hands downstream a batch whose laggard rows are
+        zeroed with STALE capture stamps, which both drops that camera's
+        detections for the cycle and corrupts the capture->pose latency
+        accounting whenever one capture thread runs behind (at 100 fps
+        cameras the extra wait is <= one frame interval). On deadline the
+        partial batch is returned as before."""
         h, w = self.shape
         batch = np.zeros((len(self.rings), h, w), np.uint8)
         ids = [-1] * len(self.rings)
         deadline = time.monotonic() + timeout_s
         while True:
-            got_new = False
             for i, ring in enumerate(self.rings):
+                if ids[i] >= 0:
+                    continue     # this camera already delivered this pull
                 # frames land straight in the batch row (no temp buffer)
                 r = ring.latest(self._last[i] if wait_new else -1,
                                 out=batch[i])
@@ -210,8 +233,9 @@ class FramePipe:
                     ids[i] = fid
                     self._last[i] = fid
                     self._stamps[i] = ts
-                    got_new = True
-            if got_new or not wait_new or time.monotonic() > deadline:
+            fresh = sum(1 for x in ids if x >= 0)
+            if fresh == len(self.rings) or not wait_new \
+                    or time.monotonic() > deadline:
                 break
             time.sleep(0.0005)
         for i in range(len(self.rings)):

@@ -70,8 +70,16 @@ class VisionNode:
                     ch.image_publisher, max_queue_size=1,
                     name=f"imgpub_{ch.location}")
         self._intr_dev = None       # lazily device-staged intrinsics
-        self._pub_q = None          # deferred-publish FIFO + worker
+        self._intr_src = None       # host object the staged copy came from
+        self._pub_q = None          # deferred-publish drop-oldest deque
+        self._pub_cv = None
+        self._pub_stop = False
         self._pub_worker = None
+        self.publish_dropped = 0    # batches dropped by the bounded
+        # deferred-publish queue (a lagging publisher sheds OLD batches —
+        # the newest data still goes out, latency stays bounded, and the
+        # spin loop is never backpressured by a wedged sender)
+        self.publish_count = 0
 
     def transform_camera_to_robot(self, ch: CameraChannel,
                                   p_cam: np.ndarray) -> np.ndarray:
@@ -97,13 +105,16 @@ class VisionNode:
         host array every batch costs a relay enqueue for nothing)."""
         if self.intrinsics is None:
             return None
-        if self._intr_dev is None:
+        if self._intr_dev is None or self._intr_src is not self.intrinsics:
+            # re-stage when self.intrinsics is reassigned (runtime
+            # recalibration) so submit() never serves a stale device copy
             try:
                 import jax
                 self._intr_dev = jax.device_put(
                     np.asarray(self.intrinsics, np.float32))
             except Exception:
                 self._intr_dev = self.intrinsics
+            self._intr_src = self.intrinsics
         return self._intr_dev
 
     def submit(self, frames):
@@ -126,22 +137,40 @@ class VisionNode:
             pass
         return out
 
+    #: deferred-publish queue depth. 2 bounds the capture->publish latency
+    #: a lagging publisher can add to ~2 batch periods; beyond that OLD
+    #: batches are dropped (the robot wants the newest poses — stale tag
+    #: data is cleared by the next publish either way, matching the
+    #: drop-oldest PublisherQueue / depth-1 QoS semantics of the reference,
+    #: camera_publisher.cpp:112-118). The r4 official streaming capture
+    #: showed the failure mode of an unbounded-latency FIFO here: a slow
+    #: publish worker backlogged 8 batches and blocked the spin loop,
+    #: blowing e2e p50 to 452 ms.
+    publish_queue_depth = 2
+
     def _ensure_pub_worker(self):
-        """Single FIFO worker for deferred publishing: never drops (NT
-        data is an every-frame contract), bounded so a stalled consumer
-        backpressures the spin loop instead of growing the queue."""
+        """Single worker draining a bounded DROP-OLDEST deque: enqueue
+        never blocks the spin loop, a wedged sender sheds old batches
+        (counted in publish_dropped) instead of backpressuring capture,
+        and stop() never hangs on a full queue."""
         if self._pub_worker is None:
-            import queue
+            import collections
             import threading
-            self._pub_q = queue.Queue(maxsize=8)
+            self._pub_q = collections.deque()
+            self._pub_cv = threading.Condition()
+            self._pub_stop = False
 
             def run():
                 while True:
-                    item = self._pub_q.get()
-                    if item is None:
-                        return
+                    with self._pub_cv:
+                        self._pub_cv.wait_for(
+                            lambda: self._pub_q or self._pub_stop)
+                        if not self._pub_q:
+                            return          # stop requested, queue drained
+                        item = self._pub_q.popleft()
                     try:
                         self._publish_batch(*item)
+                        self.publish_count += 1
                     except Exception:
                         log.exception("deferred publish failed")
 
@@ -178,7 +207,13 @@ class VisionNode:
 
         if defer_publish:
             self._ensure_pub_worker()
-            self._pub_q.put((batch_dets, frames, stamps, t_recv, det_time))
+            with self._pub_cv:
+                while len(self._pub_q) >= self.publish_queue_depth:
+                    self._pub_q.popleft()          # drop oldest
+                    self.publish_dropped += 1
+                self._pub_q.append(
+                    (batch_dets, frames, stamps, t_recv, det_time))
+                self._pub_cv.notify()
             return None
         return self._publish_batch(batch_dets, frames, stamps, t_recv,
                                    det_time)
@@ -273,7 +308,9 @@ class VisionNode:
 
     def stop(self):
         if self._pub_worker is not None:
-            self._pub_q.put(None)          # drain then exit
+            with self._pub_cv:
+                self._pub_stop = True      # drain then exit; never blocks
+                self._pub_cv.notify_all()
             self._pub_worker.join(timeout=10)
             self._pub_worker = None
         for q in self._queues.values():

