@@ -448,8 +448,9 @@ def quad_decode(gray: np.ndarray, corners: np.ndarray, family: TagFamily):
     Returns (tag_id, hamming, rotation, decision_margin) or None."""
     h, w = gray.shape
     H = geo.quad_homography(corners)
-    wb = family.border_size  # width_at_border (8 for 36h11)
-    total = wb + 2           # total_width (10)
+    wb = family.border_size      # width_at_border (8 for 36h11)
+    total = family.total_width   # total_width (10; larger for layouts
+    # whose data bits sit outside the border, e.g. tagStandard41h12)
 
     white = geo.GrayModel()
     black = geo.GrayModel()
@@ -478,12 +479,11 @@ def quad_decode(gray: np.ndarray, corners: np.ndarray, family: TagFamily):
         return None
 
     # sample data bits into a (total, total) field for sharpening
-    g = family.grid_size
-    min_coord = (wb - total) // 2  # -1
+    bit_coords = family.bit_coords()
+    min_coord = (wb - total) // 2  # -1 for classic dense
     values = np.zeros((total, total))
     for i in range(family.nbits):
-        bity = 1 + i // g
-        bitx = 1 + i % g
+        bitx, bity = int(bit_coords[i, 0]), int(bit_coords[i, 1])
         tagx = 2 * ((bitx + 0.5) / wb - 0.5)
         tagy = 2 * ((bity + 0.5) / wb - 0.5)
         px, py = geo.homography_project(H, tagx, tagy)
@@ -503,8 +503,7 @@ def quad_decode(gray: np.ndarray, corners: np.ndarray, family: TagFamily):
     white_score = black_score = 0.0
     white_cnt = black_cnt = 1.0
     for i in range(family.nbits):
-        bity = 1 + i // g
-        bitx = 1 + i % g
+        bitx, bity = int(bit_coords[i, 0]), int(bit_coords[i, 1])
         v = values[bity - min_coord, bitx - min_coord]
         rcode = np.uint64(rcode << np.uint64(1))
         if v > 0:

