@@ -504,28 +504,30 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
         top-10 peaks all landed mid-edge and the quad was lost (the
         reference's integer fixed-point accumulators are exact here,
         points.h:169-279). This path re-forms every window from
-        block-inclusive prefixes + per-block totals
-        (scan.blocked_cumsum_parts): a window (<= 41 points) spans at
-        most two blocks, so every subtraction cancels values bounded by
-        ONE block's content and the rounding no longer scales with
-        segment size. Costs ~4 extra (B, K, 6) gathers — only paid when
-        the scene actually contains a segment past the gate below."""
-        local, totals, blk = scan.blocked_cumsum_parts(mom)
-        nb = totals.shape[1]
+        OVERLAPPED-block inclusive prefixes (scan.overlapped_cumsum):
+        each block's prefix restarts ov=40 elements before the block, so
+        any window (<= 41 points, ksz <= 20) lies inside one overlapped
+        block and every subtraction cancels values bounded by its
+        content — the rounding no longer scales with segment size, and
+        each range costs 2 gathers with no cross-block totals term (the
+        previous blocked_cumsum_parts formulation cost 3 + selects; the
+        full branch measured 10.00 vs 9.01 ms/frame stock-vs-fast-forced
+        in-detector at B=8 K=32768 on the relay, scripts/mb_errsgate)."""
+        opref, blk, ov = scan.overlapped_cumsum(mom)
+        bw = blk + ov
 
         def lrs(g0, g1, live):
-            """Sum of mom over GLOBAL index range [g0..g1] (g0<=g1,
-            span < blk); `live` masks empty/invalid ranges."""
+            """Sum of mom over GLOBAL index range [g0..g1] (g0 <= g1,
+            span <= ov); `live` masks empty/invalid ranges."""
             g0c = jnp.clip(g0, 0, k - 1)
             g1c = jnp.clip(g1, 0, k - 1)
-            j0 = g0c // blk
-            l1 = segs.take1(local, g1c)
-            l0 = jnp.where(((g0c % blk) > 0)[..., None],
-                           segs.take1(local, jnp.maximum(g0c - 1, 0)), 0.0)
-            cross = (g1c // blk) > j0
-            t0 = segs.take1(totals, jnp.clip(j0, 0, nb - 1))
-            m = jnp.where(cross[..., None], l1 + t0 - l0, l1 - l0)
-            return jnp.where(live[..., None], m, 0.0)
+            j = g1c // blk
+            base = j * bw - j * blk + ov        # loc(g) = base + g
+            hi = segs.take1(opref, base + g1c)
+            lo_pos = base + g0c - 1
+            lo = jnp.where((g0c - 1 >= j * blk - ov)[..., None],
+                           segs.take1(opref, jnp.maximum(lo_pos, 0)), 0.0)
+            return jnp.where(live[..., None], hi - lo, 0.0)
 
         a = pos - ksz
         bp = pos + ksz
@@ -543,9 +545,15 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     # giant segments (> 2048 points ~ >330 decimated-px edges) are where
     # the fast path's rounding passes ~1/3 of the corner signal; they
     # only occur on near-frame-filling tags, so typical scenes never pay
-    # the stable path's extra gathers
+    # the stable path's extra gathers. Gate on SCREENED segments only
+    # (count/bbox/border filters): giant segments that fail seg_ok have
+    # their errs masked out of the peak search anyway, and saturating
+    # noise scenes (the bench scene's percolating background pairs)
+    # otherwise trip the stable branch every frame — measured +~2.5 vs
+    # +0.9 ms/frame at the wide K=32768 B=8 errs stage (mb_cluster r5).
+    sz_screened = jnp.where(seg_ok, count, 0)
     errs = jax.lax.cond(
-        jnp.max(jnp.where(valid_pt, sz_pt, 0)) > ERRS_STABLE_MIN_SZ,
+        jnp.max(sz_screened) > ERRS_STABLE_MIN_SZ,
         _errs_stable, _errs_fast)
     errs = jnp.where(fit_ok_pt, errs, 0.0)
     if _debug_stop == "errs":

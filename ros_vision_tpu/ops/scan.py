@@ -100,6 +100,43 @@ def blocked_cumsum_parts(data: jnp.ndarray, blk: int = 128):
     return local, jnp.moveaxis(totals, 1, -1), blk
 
 
+def overlapped_cumsum(data: jnp.ndarray, blk: int = 128, ov: int = 40):
+    """Overlapped-block inclusive prefix along axis 1 of (B, K, C):
+    returns (opref, blk, ov) with opref (B, NB*(blk+ov), C), where block
+    j's row covers global elements [j*blk - ov, (j+1)*blk) and holds the
+    inclusive prefix STARTING AT j*blk - ov (zeros before element 0).
+
+    Any contiguous range [g0..g1] with span <= ov and g1 in block j can
+    then be summed as opref[loc(g1)] - opref[loc(g0)-1] (loc(g) =
+    j*(blk+ov) + g - j*blk + ov; the loc-1 index is >= 0 whenever
+    g0 > j*blk - ov, and the range's prefix base is exactly zero at the
+    block head) — both operands bounded by ONE (blk+ov)-element window,
+    so the f32 rounding of the difference scales with local content, not
+    the global/segment prefix magnitude (same conditioning property as
+    blocked_cumsum_parts but with NO cross-block totals term: 2 gathers
+    per range instead of 3 + select logic)."""
+    b, k, c = data.shape
+    if k < blk:
+        blk = max(8, 1 << (k - 1).bit_length())
+    pad = (-k) % blk
+    dm = jnp.moveaxis(data, -1, 1)                       # (B, C, K)
+    if pad:
+        dm = jnp.pad(dm, ((0, 0), (0, 0), (0, pad)))
+    nb = dm.shape[-1] // blk
+    xb = dm.reshape(b, c, nb, blk).astype(jnp.float32)
+    # prepend each block's predecessor tail (zeros for block 0)
+    prev_tail = jnp.pad(xb[:, :, :-1, blk - ov:],
+                        ((0, 0), (0, 0), (1, 0), (0, 0)))
+    obk = jnp.concatenate([prev_tail, xb], axis=-1)      # (B,C,NB,blk+ov)
+    lt = _lt_matrix(blk + ov)
+    opref = jax.lax.dot_general(
+        obk, lt, (((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    opref = jnp.moveaxis(opref.reshape(b, c, nb * (blk + ov)), 1, -1)
+    return opref, blk, ov
+
+
 def segmented_cumsum_from_starts(data: jnp.ndarray,
                                  start_idx: jnp.ndarray) -> jnp.ndarray:
     """Inclusive segmented cumsum along axis 1 of (B, K[, C]) given the

@@ -125,3 +125,52 @@ def test_refine_edges_beyond_1024px_end_to_end():
     assert [d.tag_id for d in dets] == [17]
     delta = np.abs(np.asarray(dets[0].corners) - ores[0].corners).max()
     assert delta < 0.2, delta
+
+
+def test_auto_max_points_recall_at_cliff_edge():
+    """VERDICT r4 #5: pin the auto max_points rule's recall margin with a
+    saturating scene IN-SUITE (the broader per-resolution sweep lives in
+    scripts/sweep_max_points.py). At 640x480 the auto rule picks 16384; a
+    heavy-noise 4-tag scene must (a) genuinely overflow a half-capacity
+    detector (so uniform thinning is actually exercised) and (b) keep
+    full recall at the auto capacity."""
+    import numpy as np
+
+    from ros_vision_tpu.apriltag.detector import DetectorConfig, TPUDetector
+    from ros_vision_tpu.apriltag.render import (render_scene,
+                                                simple_square_corners)
+    from ros_vision_tpu.ops import ccl, quadfit
+    from ros_vision_tpu.ops import threshold as thr
+
+    W, H = 640, 480
+    img, placed = render_scene(
+        [0, 42, 311, 100],
+        [simple_square_corners(150, 125, 45),
+         simple_square_corners(430, 150, 55, angle_deg=20),
+         simple_square_corners(200, 340, 40, angle_deg=-35),
+         simple_square_corners(480, 360, 42, angle_deg=50)],
+        W, H, noise_sigma=3.5)
+
+    det = TPUDetector(DetectorConfig(
+        width=W, height=H, fx=600.0, fy=600.0, cx=320.0, cy=240.0))
+    auto_k = det.config.max_points
+    assert auto_k == 16384        # dp//8 rule at 640x480 (floor 16384)
+
+    # true boundary-point demand of the scene (uncapped probe at the
+    # auto capacity's own slots: count reports demand, not kept points)
+    import jax
+
+    @jax.jit
+    def demand(g):
+        decim = thr.decimate2(g)
+        t, _ = thr.adaptive_threshold(decim)
+        _, _, ranks = ccl.label_components(t)     # XLA path (CPU suite)
+        _, counts = quadfit.boundary_points(
+            t, ranks, det._qcfg)
+        return counts
+
+    dem = int(np.asarray(demand(img[None])).max())
+    assert dem > auto_k // 2, dem   # the scene saturates a half-K detector
+
+    got = sorted(d.tag_id for d in det.detect(img[None])[0])
+    assert got == [0, 42, 100, 311], got
