@@ -269,28 +269,49 @@ def _refine_edges_core(gray, corners, quad_valid, intr, dist,
     return out
 
 
+@functools.lru_cache(maxsize=1)
+def _src_basis_inv() -> np.ndarray:
+    """Constant S^-1 for the projective-basis homography: S maps the
+    projective basis (e1, e2, e3, e1+e2+e3) to the tag-frame square
+    (-1,-1),(1,-1),(1,1),(-1,1) (homogeneous); computed once in f64."""
+    s = np.array([[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+                 np.float64).T                      # columns s1..s4
+    d = np.linalg.solve(s[:, :3], s[:, 3])
+    S = s[:, :3] * d[None, :]
+    return np.linalg.inv(S).astype(np.float32)
+
+
 def quad_homographies(corners: jnp.ndarray) -> jnp.ndarray:
     """Batched DLT: tag frame (-1,-1),(1,-1),(1,1),(-1,1) -> corners.
-    corners (..., 4, 2) -> H (..., 3, 3)."""
-    src = jnp.asarray([[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32)
-    rows = []
-    rhs = []
-    for i in range(4):
-        x, y = src[i, 0], src[i, 1]
-        u = corners[..., i, 0]
-        v = corners[..., i, 1]
-        one = jnp.ones_like(u)
-        zero = jnp.zeros_like(u)
-        rows.append(jnp.stack([x * one, y * one, one, zero, zero, zero,
-                               -u * x, -u * y], -1))
-        rows.append(jnp.stack([zero, zero, zero, x * one, y * one, one,
-                               -v * x, -v * y], -1))
-        rhs += [u, v]
-    a = jnp.stack(rows, -2)                       # (..., 8, 8)
-    bvec = jnp.stack(rhs, -1)                     # (..., 8)
-    h8 = jnp.linalg.solve(a, bvec[..., None])[..., 0]
-    ones = jnp.ones_like(h8[..., :1])
-    return jnp.concatenate([h8, ones], -1).reshape(corners.shape[:-2] + (3, 3))
+    corners (..., 4, 2) -> H (..., 3, 3), normalized to H[2,2] = 1.
+
+    Projective-basis closed form instead of the 8x8 DLT LU solve (the
+    reference solves the same 4-point system host-side,
+    homography_compute2): G = [c1*p1 | c2*p2 | c3*p3] maps the basis to
+    the corner points (c = adj([p1 p2 p3]) @ p4, scale-free Cramer), and
+    H = G @ S^-1 with S^-1 a constant. ~60 fused elementwise ops per
+    quad versus a batched (B*NQ, 8, 8) LU — the solve ran in the
+    all-quads screen stage at (B, 128) every frame."""
+    u = corners[..., 0]                             # (..., 4)
+    v = corners[..., 1]
+    p = jnp.stack([u, v, jnp.ones_like(u)], -2)     # (..., 3, 4)
+    m = p[..., :3]                                  # columns p1 p2 p3
+    p4 = p[..., 3]
+    # adj(M) @ p4 via cofactors (scale-free: H is projective)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    adj = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1)], -2)
+    cvec = jnp.einsum("...ij,...j->...i", adj, p4)  # (..., 3)
+    G = m * cvec[..., None, :]                      # scale columns
+    H = jnp.einsum("...ij,jk->...ik", G, jnp.asarray(_src_basis_inv()))
+    h22 = H[..., 2:3, 2:3]
+    h22 = jnp.where(jnp.abs(h22) < 1e-20,
+                    jnp.where(h22 < 0, -1e-20, 1e-20), h22)
+    return H / h22
 
 
 def project(H: jnp.ndarray, tx, ty):

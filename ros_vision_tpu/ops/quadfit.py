@@ -425,20 +425,23 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     ixc = jnp.clip(ix, 1, w2 - 2)
     iyc = jnp.clip(iy, 1, h2 - 2)
 
-    # gradient magnitude weights: precompute the 2-channel gradient image
-    # (elementwise) and fetch both channels with ONE slice-gather.
-    # (Folding sqrt(gx^2+gy^2) into the image for a 1-channel gather was
-    # measured SLOWER — 8.84 vs 8.68 ms/frame cluster total at K=65536:
-    # the fresh f32 magnitude plane costs more than the halved gather
-    # saves. Batching the three pref_at gathers into one concatenated-
-    # index gather was worse still, +0.7 ms/frame.)
-    dimg = decim.astype(jnp.float32)
-    gximg = jnp.pad(dimg[:, :, 2:] - dimg[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
-    gyimg = jnp.pad(dimg[:, 2:, :] - dimg[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
-    gstack = jnp.stack([gximg.reshape(b, -1), gyimg.reshape(b, -1)], axis=-1)
-    gpt = segs.take1(gstack, iyc * w2 + ixc)
-    gimx = gpt[..., 0]
-    gimy = gpt[..., 1]
+    # gradient magnitude weights: pack BOTH gradient channels into ONE
+    # int32 plane ((gx+255) << 10 | (gy+255) — each in [0, 510], exact)
+    # and fetch with ONE single-channel gather: half the materialized
+    # plane bytes and half the gather output vs the former f32 2-channel
+    # gstack, with bit-identical unpacked values (gradients are small
+    # integers, exact in both forms). (Folding sqrt(gx^2+gy^2) into the
+    # image for a 1-channel f32 gather was measured SLOWER — 8.84 vs
+    # 8.68 ms/frame cluster total at K=65536: a fresh f32 magnitude
+    # plane is not exact-packable. Batching the three pref_at gathers
+    # into one concatenated-index gather was worse still, +0.7 ms/frame.)
+    dint = decim.astype(jnp.int32)
+    gxi = jnp.pad(dint[:, :, 2:] - dint[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    gyi = jnp.pad(dint[:, 2:, :] - dint[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
+    gplane = (((gxi + 255) << 10) | (gyi + 255)).reshape(b, -1)
+    gpt = segs.take1(gplane, iyc * w2 + ixc)
+    gimx = ((gpt >> 10) - 255).astype(jnp.float32)
+    gimy = ((gpt & 1023) - 255).astype(jnp.float32)
     wgt = jnp.where(inb, jnp.sqrt(gimx * gimx + gimy * gimy) + 1.0, 1.0)
     wgt = wgt * WEIGHT_SCALE
     wgt = jnp.where(valid_pt, wgt, 0.0)
@@ -585,30 +588,28 @@ def cluster_and_fit(pts: dict, decim: jnp.ndarray, cfg: QuadFitConfig,
     eraw = jnp.where(in_seg, segs.take1(
         errs_raw, gidx.reshape(b, -1)).reshape(b, nseg1, 2 * fw), 0.0)
 
-    def tab_idx(q):
-        """Table slot for circular position q (B, NSEG1, S); q must lie in
-        [0, fw) u [sz-fw, sz) — true for every tap used below."""
-        qm = jnp.where(q < 0, q + count[..., None], q)
-        qm = jnp.where(qm >= count[..., None], qm - count[..., None], qm)
-        ti = jnp.where(qm < fw, qm, 2 * fw + qm - count[..., None])
-        return jnp.clip(ti, 0, 2 * fw - 1)
-
-    # exact circular smoothing for positions [0,5) u [sz-5,sz): ONE
-    # 7-tap-concatenated take_along_axis (each standalone ~82k-index gather
-    # cost ~0.82 ms/call on the relay v5e — pure per-op overhead for a
-    # 16-wide table — so 7 -> 1 saves ~0.6 ms/frame at B=8); the weighted
-    # sum unrolls in the same j order as the old per-j loop (bit-exact)
+    # exact circular smoothing for positions [0,5) u [sz-5,sz): repair
+    # only ever applies to segments with count >= 2*fw (the fix_in gate
+    # below), and there the circular tap -> table-slot mapping is
+    # CONSTANT — fix slot s covers signed position p (s for s < 5,
+    # s - 10 from the end otherwise) and tap p+j lands at table slot
+    # (p+j) mod 16. The whole 7-tap weighted smoothing is therefore one
+    # tiny constant (16, 10) matmul over the eraw table — replacing the
+    # previous 70-wide take_along_axis + 7-term unrolled sum (the tap
+    # gather alone cost ~0.7 ms/call at B=8 NSEG=1024 on the relay v5e).
+    # f32 sum order changes within the documented errs-noise envelope.
     fpos = jnp.concatenate([jnp.arange(5, dtype=jnp.int32),
                             jnp.arange(-5, 0, dtype=jnp.int32)])
     fpos_abs = jnp.where(fpos >= 0, fpos, count[..., None] + fpos)
     nfix = fpos.shape[0]
-    ti_all = jnp.concatenate([tab_idx(fpos_abs + j) for j in range(-3, 4)],
-                             axis=2)                     # (B, NSEG1, 7*10)
-    tap_all = jnp.take_along_axis(eraw, ti_all, axis=2).reshape(
-        b, nseg1, 7, nfix)
-    sm_fix = jnp.zeros((b, nseg1, nfix), jnp.float32)
-    for jj, j in enumerate(range(-3, 4)):
-        sm_fix = sm_fix + math.exp(-j * j / 2.0) * tap_all[:, :, jj]
+    wmat = np.zeros((2 * fw, nfix), np.float32)
+    for s in range(nfix):
+        p = s if s < 5 else s - 10
+        for j in range(-3, 4):
+            wmat[(p + j) % (2 * fw), s] += math.exp(-j * j / 2.0)
+    sm_fix = jnp.einsum("bnt,ts->bns", eraw, jnp.asarray(wmat),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     # peaks from the fixed smoothed values. Table layout
     # [0,1,2,3,4, sz-5,sz-4,sz-3,sz-2,sz-1]: the +1/-1 circular neighbors
     # are in-table for every slot except 4 (needs pos 5) and 5 (needs pos
