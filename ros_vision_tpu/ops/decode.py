@@ -415,18 +415,31 @@ def decode_quads(gray: jnp.ndarray, corners: jnp.ndarray,
     def gray_model(mask):
         w = mask.astype(jnp.float32)
         rx, ry = btx[None, None, :], bty[None, None, :]
-        one = jnp.ones_like(rx)
-        A = jnp.stack([
-            jnp.stack([(w * rx * rx).sum(-1), (w * rx * ry).sum(-1),
-                       (w * rx).sum(-1)], -1),
-            jnp.stack([(w * rx * ry).sum(-1), (w * ry * ry).sum(-1),
-                       (w * ry).sum(-1)], -1),
-            jnp.stack([(w * rx).sum(-1), (w * ry).sum(-1),
-                       (w * one).sum(-1)], -1)], -2)
-        bb = jnp.stack([(w * rx * v).sum(-1), (w * ry * v).sum(-1),
-                        (w * v).sum(-1)], -1)
-        A = A + 1e-6 * jnp.eye(3)
-        return jnp.linalg.solve(A, bb[..., None])[..., 0]   # (B,NQ,3)
+        sxx = (w * rx * rx).sum(-1) + 1e-6
+        sxy = (w * rx * ry).sum(-1)
+        sx = (w * rx).sum(-1)
+        syy = (w * ry * ry).sum(-1) + 1e-6
+        sy = (w * ry).sum(-1)
+        s1 = w.sum(-1) + 1e-6
+        bx = (w * rx * v).sum(-1)
+        by = (w * ry * v).sum(-1)
+        b1 = (w * v).sum(-1)
+        # analytic symmetric-3x3 solve (adjugate/det): the batched
+        # (B, NQ, 3, 3) LU ran over all 128 quad slots in the screen
+        # stage; ~20 fused elementwise ops replace it. Same Tikhonov
+        # regularization as before, f32 residual ~1e-6 relative.
+        c00 = syy * s1 - sy * sy
+        c01 = sx * sy - sxy * s1
+        c02 = sxy * sy - syy * sx
+        c11 = sxx * s1 - sx * sx
+        c12 = sxy * sx - sxx * sy
+        c22 = sxx * syy - sxy * sxy
+        det = sxx * c00 + sxy * c01 + sx * c02
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        out = jnp.stack([c00 * bx + c01 * by + c02 * b1,
+                         c01 * bx + c11 * by + c12 * b1,
+                         c02 * bx + c12 * by + c22 * b1], -1)
+        return out / det[..., None]                       # (B,NQ,3)
 
     cw = gray_model(wmask)
     ck = gray_model(kmask)
