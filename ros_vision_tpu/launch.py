@@ -439,19 +439,28 @@ class VisionSystem:
     #: reference's implied budget is its 50 ms camera QoS deadline
     #: (camera_publisher.cpp:115-116); the relay default adds the ~120 ms
     #: dispatch->readable transport the on-board deployment doesn't pay.
+    #: Calibration (r5 relay measurements, pull-first spin order): depth
+    #: 1 runs EMA ~163 ms / 12.3 fps/cam, depth 2 ~200 ms / ~15 fps/cam;
+    #: 0.25 keeps an idle host at depth 2 (throughput) while a loaded
+    #: host (the r4 official capture blew to 452 ms at fixed depth) sheds
+    #: to 1, and past 2x budget to 0.
     latency_budget_s = 0.25
 
     def spin(self) -> None:
         """Pipelined loop: keep up to `pipeline_depth` detection batches
         in flight; consume (unpack) the oldest while the device works on
         the newer ones. Depth adapts under latency_budget_s — see
-        pipeline_depth/latency_budget_s. Host-side overlap (r4): the next
-        batch's H2D upload is enqueued BEFORE the blocking unpack so the
-        frame transfer rides the device wait, and the per-camera publish
-        work runs on the node's deferred worker thread — the loop period
-        then tracks max(device, transport) instead of device + ~20 ms of
-        serial host work. Per-phase timing accumulates in self.spin_stats
-        (surfaced by bench.py) so a latency regression is attributable."""
+        pipeline_depth/latency_budget_s. Phase order (r5): pull fresh
+        frames, upload, submit, THEN consume the oldest — a frame is
+        submitted in the same iteration it was captured. The r4 order
+        (submit the PREVIOUS pull, then prefetch) made every frame one
+        full loop staler before dispatch (relay A/B at depth 1: e2e
+        p50 226.8 old -> 175.6 new at 12.3 fps/cam; absolute numbers
+        swing +-20% between relay sessions, the ordering saving is the
+        ~one-loop staleness). Per-camera publish
+        work runs on the node's deferred worker thread, and per-phase
+        timing accumulates in self.spin_stats (surfaced by bench.py) so
+        a latency regression is attributable."""
         from collections import deque
         stats = self.spin_stats = {
             "batches": 0, "pull_ms": 0.0, "submit_ms": 0.0,
@@ -461,17 +470,12 @@ class VisionSystem:
         ema = None
         depth = self.pipeline_depth
         pend = deque()
-        frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
-        dev = self.node.upload(frames)
         while self._running:
             t0 = time.monotonic()
-            pend.append((self.node.submit(dev), frames, stamps))
-            t1 = time.monotonic()
-            # prefetch + upload the NEXT batch now: the H2D transfer and
-            # the camera wait_new both ride the blocking unpack below
-            # instead of extending the loop after it
             frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
             dev = self.node.upload(frames)
+            t1 = time.monotonic()
+            pend.append((self.node.submit(dev), frames, stamps))
             t2 = time.monotonic()
             while len(pend) > depth:
                 pending, pending_frames, pending_stamps = pend.popleft()
@@ -483,7 +487,10 @@ class VisionSystem:
                 # the publish worker adds at most publish_queue_depth
                 # batches on top (bounded drop-oldest)
                 lat = time.time() - max(pending_stamps) / 1e9
-                ema = lat if ema is None else 0.8 * ema + 0.2 * lat
+                # skip the first batches: compile/warmup latency spikes
+                # would shed depth before steady state is even reached
+                if stats["batches"] >= 3:
+                    ema = lat if ema is None else 0.8 * ema + 0.2 * lat
                 if self.bag is not None:
                     for ch, frame in zip(self.channels, pending_frames):
                         self.bag.write_image(
@@ -491,21 +498,29 @@ class VisionSystem:
                             frame)
             t3 = time.monotonic()
             stats["batches"] += 1
-            stats["submit_ms"] += (t1 - t0) * 1e3
-            stats["pull_ms"] += (t2 - t1) * 1e3
+            stats["pull_ms"] += (t1 - t0) * 1e3
+            stats["submit_ms"] += (t2 - t1) * 1e3
             stats["consume_ms"] += (t3 - t2) * 1e3
             if ema is not None:
                 stats["latency_ema_ms"] = round(ema * 1e3, 1)
                 # hysteresis: shed depth when over budget (each step
-                # removes ~1 loop period of e2e latency), restore only
-                # when comfortably under so the depth doesn't oscillate
-                if ema > self.latency_budget_s and depth > 0:
+                # past 1 removes ~1 loop period of queue wait), restore
+                # only when comfortably under so the depth doesn't
+                # oscillate. Depth FLOORS AT 1 short of 2x budget: on
+                # the relay's deep transport pipeline depth 0 is
+                # strictly worse than 1 (same e2e — an isolated call is
+                # ~120 ms dispatch->readable regardless — at half the
+                # throughput, measured 7.2 vs 14.5 fps/cam), so 0 is
+                # reserved for genuine overload.
+                floor = 0 if ema > 2 * self.latency_budget_s else 1
+                if ema > self.latency_budget_s and depth > floor:
                     depth -= 1
                     stats["depth_downshifts"] += 1
                 elif ema < 0.6 * self.latency_budget_s and \
                         depth < self.pipeline_depth:
                     depth += 1
                     stats["depth_upshifts"] += 1
+                depth = max(depth, floor)
             stats["depth"] = depth
 
     def stop(self) -> None:

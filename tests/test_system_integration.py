@@ -344,7 +344,10 @@ def test_spin_adaptive_depth_sheds_under_latency(config_file):
     system.stop()
     stats = system.spin_stats
     assert stats is not None and stats["batches"] >= 5, stats
-    assert stats["depth_downshifts"] >= 2, stats
+    # sheds from the configured depth 2 under the exceeded budget; the
+    # floor policy keeps depth >= 1 short of 2x budget (depth 0 halves
+    # throughput for no latency gain on a deep transport pipeline)
+    assert stats["depth_downshifts"] >= 1, stats
     assert stats["depth"] <= 1, stats
     assert stats["latency_ema_ms"] > 0
 
