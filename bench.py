@@ -140,7 +140,7 @@ def streaming_bench(img, duration_s: float = 12.0):
         fps = (len(rows) / len(cams)) / (elapsed * 0.75)
         phases = dict(system.spin_stats or {})
         n = max(1, phases.get("batches", 1))
-        for k in ("pull_ms", "submit_ms", "consume_ms"):
+        for k in ("pull_ms", "upload_ms", "submit_ms", "consume_ms"):
             if k in phases:          # totals -> per-batch means
                 phases[k] = round(phases[k] / n, 2)
         phases["publish_dropped"] = system.node.publish_dropped

@@ -463,7 +463,8 @@ class VisionSystem:
         a latency regression is attributable."""
         from collections import deque
         stats = self.spin_stats = {
-            "batches": 0, "pull_ms": 0.0, "submit_ms": 0.0,
+            "batches": 0, "pull_ms": 0.0, "upload_ms": 0.0,
+            "submit_ms": 0.0,
             "consume_ms": 0.0, "latency_ema_ms": 0.0, "depth": 0,
             "depth_downshifts": 0, "depth_upshifts": 0,
         }
@@ -473,6 +474,7 @@ class VisionSystem:
         while self._running:
             t0 = time.monotonic()
             frames, ids, stamps = self.pipe.pull_batch(wait_new=True)
+            t0b = time.monotonic()
             dev = self.node.upload(frames)
             t1 = time.monotonic()
             pend.append((self.node.submit(dev), frames, stamps))
@@ -498,7 +500,8 @@ class VisionSystem:
                             frame)
             t3 = time.monotonic()
             stats["batches"] += 1
-            stats["pull_ms"] += (t1 - t0) * 1e3
+            stats["pull_ms"] += (t0b - t0) * 1e3
+            stats["upload_ms"] += (t1 - t0b) * 1e3
             stats["submit_ms"] += (t2 - t1) * 1e3
             stats["consume_ms"] += (t3 - t2) * 1e3
             if ema is not None:
