@@ -194,7 +194,14 @@ class TPUDetector:
             config = dataclasses.replace(config, max_points=mp)
         self.config = config
         self.family: TagFamily = get_family(config.family)
-        self._code_matrix = jnp.asarray(dec.make_code_matrix(self.family))
+        # kept as a HOST (numpy) constant on purpose: a persistent
+        # device-resident jnp array captured by the jitted closure embeds
+        # as an Array constant whose VALUE is fetched device->host at
+        # EVERY lowering (jax mlir ir_constant -> Array._value) — on the
+        # axon relay that is a ~46 ms+ readback per trace, observed
+        # stalling warmup. A numpy constant embeds without any device
+        # traffic and compiles to the identical HLO literal.
+        self._code_matrix = np.asarray(dec.make_code_matrix(self.family))
         self._qcfg = quadfit.QuadFitConfig(
             max_points=config.max_points,
             max_segments=config.max_segments,

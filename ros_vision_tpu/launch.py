@@ -467,9 +467,11 @@ class VisionSystem:
             "submit_ms": 0.0,
             "consume_ms": 0.0, "latency_ema_ms": 0.0, "depth": 0,
             "depth_downshifts": 0, "depth_upshifts": 0,
+            "zero_copy_pipe": bool(self.pipe.zero_copy),
         }
         ema = None
         depth = self.pipeline_depth
+        last_upshift = -(1 << 30)     # batch index of last depth change
         pend = deque()
         while self._running:
             t0 = time.monotonic()
@@ -519,10 +521,23 @@ class VisionSystem:
                 if ema > self.latency_budget_s and depth > floor:
                     depth -= 1
                     stats["depth_downshifts"] += 1
-                elif ema < 0.6 * self.latency_budget_s and \
-                        depth < self.pipeline_depth:
+                    last_upshift = stats["batches"]
+                elif ema < 0.85 * self.latency_budget_s and \
+                        depth < self.pipeline_depth and \
+                        stats["batches"] - last_upshift >= 16:
+                    # PROBING upshift: when latency is transport-dominated
+                    # (not queue-dominated) a downshift doesn't lower ema —
+                    # it just halves throughput — so a strict "well under
+                    # budget" upshift gate (the old 0.6x) never fires and
+                    # the loop is stuck at low depth forever (the r5
+                    # official capture idled at depth 1 / ema 212 / budget
+                    # 250). Instead, try depth+1 whenever ema sits
+                    # comfortably inside budget; if the extra in-flight
+                    # batch pushes ema over, the downshift rule reverts it
+                    # and the cooldown (16 batches) bounds oscillation.
                     depth += 1
                     stats["depth_upshifts"] += 1
+                    last_upshift = stats["batches"]
                 depth = max(depth, floor)
             stats["depth"] = depth
 

@@ -120,6 +120,9 @@ class Rectifier:
 
     def __init__(self, width, height, fx, fy, cx, cy, dist,
                  bayer_pattern: str | None = None):
+        # device-resident is correct here: the map flows into
+        # remap_bilinear as a jit ARGUMENT (not a captured constant), so
+        # it is staged once and never embedded/fetched at lowering.
         self.map = jnp.asarray(build_undistort_map(
             width, height, fx, fy, cx, cy, dist))
         self.bayer_pattern = bayer_pattern

@@ -59,6 +59,12 @@ def _load_native():
 
 _NATIVE = _load_native()
 
+try:
+    import cv2 as _cv2_probe          # noqa: F401  (presence probe only)
+    _HAVE_CV2 = True
+except ImportError:
+    _HAVE_CV2 = False
+
 
 def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
     """BGR8 -> gray, matching cv2.cvtColor(COLOR_BGR2GRAY). Prefers cv2
@@ -80,12 +86,32 @@ def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
 
 
 class FrameRing:
-    """SPSC drop-oldest frame ring. One per camera."""
+    """SPSC drop-oldest frame ring. One per camera.
+
+    With zero_copy=True the ring degenerates to a LATEST-SLOT handoff:
+    push() publishes a REFERENCE to the producer's frame (no copy, no
+    conversion — a tuple swap, atomic under the GIL) and latest() does
+    the copy/BGR->gray conversion on the CONSUMER side, only for frames
+    actually consumed. On a CPU-starved host (the 1-core relay VM) the
+    copying ring is the wrong trade: 4 capture threads copying/converting
+    EVERY captured frame (~0.6-0.8 ms each at 4x100 fps) burn ~0.3 cores
+    while the pipeline consumes ~12 of every 100 frames, and that load
+    stretches the GIL-holding spin-loop phases (upload measured 24 ms
+    in-loop vs 3.3 ms on an idle host). Ownership contract: the producer
+    must hand over the frame and never mutate it afterwards
+    (cv2.VideoCapture.read() allocates a fresh buffer per frame; mock
+    factories return immutable scene arrays)."""
 
     def __init__(self, frame_bytes: int, n_slots: int = 4,
-                 force_python: bool = False):
+                 force_python: bool = False, zero_copy: bool = False):
         self.frame_bytes = frame_bytes
+        self.zero_copy = zero_copy
         self._native = None
+        self._n_slots = n_slots
+        if zero_copy:
+            self._ref = None             # (frame, fid, timestamp_ns)
+            self._zc_head = 0
+            return
         if _NATIVE is not None and not force_python:
             h = _NATIVE.frame_ring_create(n_slots, frame_bytes)
             if h:
@@ -95,7 +121,6 @@ class FrameRing:
             self._meta = [None] * n_slots
             self._head = 0
             self._lock = threading.Lock()
-        self._n_slots = n_slots
 
     @property
     def is_native(self) -> bool:
@@ -107,6 +132,12 @@ class FrameRing:
         the slot; cv2-bit-exact either way). The buffer is handed to the
         native side by pointer: ctypes releases the GIL for the call, so
         the copy/convert runs concurrently with other capture threads."""
+        if self.zero_copy:
+            fid = self._zc_head
+            # single tuple store: readers grab the whole triple atomically
+            self._ref = (frame, fid, timestamp_ns or time.monotonic_ns())
+            self._zc_head = fid + 1
+            return fid
         buf = np.ascontiguousarray(frame)
         is_bgr = buf.ndim == 3 and buf.shape[-1] == 3
         if self._native is not None:
@@ -143,6 +174,32 @@ class FrameRing:
         None return with the native ring, `out` may hold a partial frame
         (a torn seqlock read aborts after the copy) — callers must treat
         `out` as garbage unless a frame was returned."""
+        if self.zero_copy:
+            ref = self._ref
+            if ref is None:
+                return None
+            frame, fid, ts = ref
+            if fid == last_seen_id:
+                return None
+            if frame.ndim == 3 and frame.shape[-1] == 3:
+                # straight into the caller's batch row when shapes line up
+                if out is not None and out.ndim == 2 and \
+                        out.shape == frame.shape[:2] and \
+                        frame.dtype == np.uint8 and _HAVE_CV2:
+                    import cv2
+                    cv2.cvtColor(np.ascontiguousarray(frame),
+                                 cv2.COLOR_BGR2GRAY, dst=out)
+                    return out.reshape(-1), fid, ts
+                g = bgr_to_gray(frame)
+            else:
+                g = frame
+            g = np.ascontiguousarray(g, np.uint8).reshape(-1)
+            n = min(g.size, self.frame_bytes)
+            if out is None:
+                return g[:n], fid, ts
+            flat = out.reshape(-1)
+            flat[:n] = g[:n]
+            return flat[:n], fid, ts
         if self._native is not None:
             if out is None:
                 out = np.empty(self.frame_bytes, np.uint8)
@@ -171,6 +228,8 @@ class FrameRing:
 
     @property
     def head(self) -> int:
+        if self.zero_copy:
+            return self._zc_head
         if self._native is not None:
             return int(_NATIVE.frame_ring_head(self._native))
         return self._head
@@ -195,9 +254,20 @@ class FramePipe:
     per-camera processes become one batched device program."""
 
     def __init__(self, n_cameras: int, height: int, width: int,
-                 n_slots: int = 4):
+                 n_slots: int = 4, zero_copy: bool | None = None):
+        # auto: on a host too small to give every capture thread its own
+        # core (the 1-core relay VM), per-capture copies/conversions at
+        # full camera rate starve the spin loop — hand frames over by
+        # reference and convert only what the pipeline consumes. On
+        # multicore hosts the copying ring keeps pull_batch marginally
+        # cheaper (memcpy vs cvtColor) and the conversion runs for free
+        # on the capture cores, so it stays the default there.
+        if zero_copy is None:
+            zero_copy = (os.cpu_count() or 1) <= 2
+        self.zero_copy = zero_copy
         self.shape = (height, width)
-        self.rings = [FrameRing(height * width, n_slots)
+        self.rings = [FrameRing(height * width, n_slots,
+                                zero_copy=zero_copy)
                       for _ in range(n_cameras)]
         self._last = [-1] * n_cameras
         self._stamps = [0] * n_cameras

@@ -124,6 +124,54 @@ def test_frame_ring_latest_into_out_buffer(force_python):
     assert batch[1].sum() == 0     # absent camera row stays zeroed
 
 
+def test_zero_copy_ring_converts_on_pull():
+    """zero_copy=True: push is a reference handoff (no copy, no
+    conversion) and latest() converts BGR->gray on the consumer side,
+    bit-compatible with the copying ring's push-time conversion. The mode
+    exists for CPU-starved hosts where capture threads converting every
+    frame at camera rate starve the spin loop."""
+    import cv2
+
+    from ros_vision_tpu.runtime.frame_pipe import FrameRing
+    rng = np.random.default_rng(11)
+    bgr = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    ring = FrameRing(48 * 64, zero_copy=True)
+    assert ring.latest() is None
+    fid = ring.push(bgr, timestamp_ns=77)
+    assert fid == 0 and ring.head == 1
+    # out= path: converted straight into the (H, W) batch row
+    out = np.zeros((48, 64), np.uint8)
+    buf, fid, ts = ring.latest(out=out)
+    assert fid == 0 and ts == 77
+    assert np.array_equal(out, ref)
+    # no-out path allocates; gray frames pass through unconverted
+    buf2, _, _ = ring.latest()
+    assert np.array_equal(buf2.reshape(48, 64), ref)
+    gray = np.arange(48 * 64, dtype=np.uint8).reshape(48, 64)
+    ring.push(gray)
+    buf3, fid3, _ = ring.latest()
+    assert fid3 == 1 and np.array_equal(buf3.reshape(48, 64), gray)
+    # last_seen filtering matches the ring semantics
+    assert ring.latest(last_seen_id=1) is None
+    ring.close()
+
+
+def test_zero_copy_pipe_matches_copying_pipe():
+    """FramePipe(zero_copy=True) pull_batch output is identical to the
+    copying pipe's for the same pushed frames (same ids/stamps/pixels)."""
+    from ros_vision_tpu.runtime.frame_pipe import FramePipe
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (8, 6, 3), np.uint8) for _ in range(2)]
+    pipes = [FramePipe(2, 8, 6, zero_copy=zc) for zc in (False, True)]
+    for pipe in pipes:
+        for cam, f in enumerate(frames):
+            pipe.push(cam, f, timestamp_ns=100 + cam)
+    (b0, i0, s0), (b1, i1, s1) = [p.pull_batch() for p in pipes]
+    assert i0 == i1 and s0 == s1
+    assert np.array_equal(b0, b1)
+
+
 # ---- camera publisher with mock + failure injection -----------------------
 
 def test_camera_publisher_mock():
