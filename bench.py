@@ -184,7 +184,14 @@ def wait_for_backend(max_wait_s: float = 1500.0, probe_timeout_s: float = 90.0):
         time.sleep(min(60.0, max(5.0, probe_timeout_s / 3)))
 
 
-def main():
+# partial-record holder for the global watchdog: _measure() builds its
+# result dict IN here so a mid-run relay stall still leaves main() a
+# partial artifact to print.
+PARTIAL: dict = {}
+_DONE: list = []
+
+
+def _measure():
     wait_for_backend(float(os.environ.get("BENCH_BACKEND_WAIT_S", "1500")))
     batches = [int(x) for x in
                os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")]
@@ -253,6 +260,7 @@ def main():
                 fps = batch / dt
                 points[batch] = {"fps": round(fps, 2),
                                  "latency_ms": round(dt * 1e3, 2)}
+                PARTIAL["sweep_partial"] = dict(points)
                 if best is None or fps > best[1]:
                     best = (batch, fps, dt)
             break
@@ -263,7 +271,9 @@ def main():
                   "with Pallas kernel paths off", file=sys.stderr)
 
     batch, fps, dt = best
-    out = {
+    PARTIAL.clear()
+    out = PARTIAL            # alias: later phases mutate the holder
+    out.update({
         "metric": "apriltag_1280x800_36h11_detect_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
@@ -284,7 +294,7 @@ def main():
             "max_points": det.config.max_points,
             "active_points": det._active_points,
         },
-    }
+    })
     # the latency operating point is B=1 (one camera frame end to end);
     # best-batch call time is a throughput figure, not per-frame latency
     if 1 in points:
@@ -336,20 +346,76 @@ def main():
             print(f"WARNING: 1080p bench failed: {e}", file=sys.stderr)
 
     # BASELINE config 5: 4-camera streaming end to end (capture->pose,
-    # incl. H2D, unpack, NT publish) through VisionSystem.spin
+    # incl. H2D, unpack, NT publish) through VisionSystem.spin. Run under
+    # a WATCHDOG: the axon relay can stall a device readback for MINUTES
+    # (observed mid-round-5: Array._value blocked >9 min during
+    # streaming warmup), and since this JSON only prints at the end, an
+    # unguarded stall would eat the whole bench record — abandon the
+    # streaming phase after BENCH_STREAM_TIMEOUT_S and keep the headline.
+    stream_stalled = False
     if os.environ.get("BENCH_STREAMING", "1") != "0":
-        try:
-            sfps, p50, p95, phases = streaming_bench(img)
-            out["streaming_cameras"] = 4
-            out["streaming_fps_per_camera"] = sfps
-            out["e2e_p50_ms"] = p50
-            out["e2e_p95_ms"] = p95
-            out["streaming_phases"] = phases
-            out["e2e_note"] = ("axon relay adds ~46 ms host<->device RTT "
-                               "per readback vs on-board deployment")
-        except Exception as e:  # never lose the primary metric
-            print(f"WARNING: streaming bench failed: {e}", file=sys.stderr)
+        import threading
+
+        def _run_streaming():
+            try:
+                sfps, p50, p95, phases = streaming_bench(img)
+                out["streaming_cameras"] = 4
+                out["streaming_fps_per_camera"] = sfps
+                out["e2e_p50_ms"] = p50
+                out["e2e_p95_ms"] = p95
+                out["streaming_phases"] = phases
+                out["e2e_note"] = ("axon relay adds ~46 ms host<->device "
+                                   "RTT per readback vs on-board "
+                                   "deployment")
+            except Exception as e:  # never lose the primary metric
+                print(f"WARNING: streaming bench failed: {e}",
+                      file=sys.stderr)
+
+        th = threading.Thread(target=_run_streaming, daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("BENCH_STREAM_TIMEOUT_S",
+                                             "900")))
+        if th.is_alive():
+            stream_stalled = True
+            out["streaming_error"] = ("timed out (relay readback stall); "
+                                      "headline metrics unaffected")
+            print("WARNING: streaming bench timed out — abandoning phase",
+                  file=sys.stderr)
     print(json.dumps(out))
+    sys.stdout.flush()
+    _DONE.append(True)
+    if stream_stalled:
+        # the abandoned thread may sit forever in a stuck device readback
+        # holding non-daemon resources (NT4 test server) — exit hard so
+        # the driver still collects the printed record
+        os._exit(0)
+
+
+def main():
+    """Run _measure under a GLOBAL watchdog. The axon relay can stall a
+    device readback (or a compile) for an unbounded time — observed
+    blocking >9 min mid-round — and this script's contract is ONE JSON
+    line on stdout; a silent hang would cost the whole official record.
+    On timeout the best partial record (sweep points collected so far)
+    is printed with a bench_error marker."""
+    import threading
+    th = threading.Thread(target=_measure, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "5400")))
+    if _DONE:
+        return
+    rec = dict(PARTIAL)
+    rec.setdefault("metric", "apriltag_1280x800_36h11_detect_fps_per_chip")
+    rec.setdefault("value", 0.0)
+    rec.setdefault("unit", "fps")
+    rec.setdefault("vs_baseline", 0.0)
+    rec["bench_error"] = (
+        "global timeout — relay stall mid-measurement; partial record"
+        if th.is_alive() else
+        "measurement thread died before completing; partial record")
+    print(json.dumps(rec))
+    sys.stdout.flush()
+    os._exit(3 if th.is_alive() else 1)
 
 
 if __name__ == "__main__":
