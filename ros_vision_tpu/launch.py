@@ -203,7 +203,8 @@ class VisionSystem:
                  camera_map: dict | None = None,
                  calibration_dir: str | None = None,
                  camera_factory=None,
-                 detector_overrides: dict | None = None):
+                 detector_overrides: dict | None = None,
+                 pipe_zero_copy: bool | None = None):
         from ros_vision_tpu.apriltag.detector import (DetectorConfig,
                                                       TPUDetector)
         from ros_vision_tpu.runtime.camera import CameraPublisher, OpenCVCamera
@@ -230,7 +231,8 @@ class VisionSystem:
                 f"cameras have mixed resolutions {sorted(mixed)}; run one "
                 "VisionSystem per resolution group (camera_map lets you "
                 "split the set)")
-        self.pipe = FramePipe(len(idents), first.height, first.width)
+        self.pipe = FramePipe(len(idents), first.height, first.width,
+                              zero_copy=pipe_zero_copy)
 
         perf = ConfigLoader.get_performance_config()
         self.publishers = []

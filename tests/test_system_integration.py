@@ -124,6 +124,50 @@ def test_vision_system_end_to_end(config_file, tmp_path):
     assert "latency_us" in header and "networktables_us" in header
 
 
+def test_vision_system_zero_copy_pipe(config_file, tmp_path):
+    """The zero-copy latest-slot frame path (auto-picked on <=2-CPU
+    hosts, forced here) carries the full system: capture threads hand
+    frames over by reference, pull converts BGR->gray on consume, and
+    detections come out identical to the copying-ring path."""
+    cv2 = pytest.importorskip("cv2")
+    from ros_vision_tpu.launch import VisionSystem
+    from ros_vision_tpu.runtime.camera import MockCamera
+
+    scene0, _ = render_scene([5], [simple_square_corners(80, 60, 34)], W, H)
+    scene1, _ = render_scene([9], [simple_square_corners(220, 90, 36, 15)],
+                             W, H)
+    scenes = {"mock0": scene0, "mock1": scene1}
+
+    def factory(ident, idx):
+        bgr = cv2.cvtColor(scenes[ident], cv2.COLOR_GRAY2BGR)
+        return MockCamera(width=W, height=H, frame_factory=lambda n: bgr)
+
+    system = VisionSystem(
+        measurement_mode=True,
+        timing_csv_path=str(tmp_path / "timing_zc.csv"),
+        enable_viewer=False, enable_nt=False,
+        camera_map={"mock0": 0, "mock1": 1},
+        camera_factory=factory, pipe_zero_copy=True,
+        detector_overrides=dict(max_points=4096, max_segments=64,
+                                max_quads=8, fx=300.0, fy=300.0,
+                                cx=160.0, cy=80.0))
+    assert system.pipe.zero_copy and system.pipe.rings[0].zero_copy
+    system.start()
+    try:
+        deadline = time.time() + 120
+        ids0 = ids1 = None
+        while time.time() < deadline:
+            results = system.spin_once()
+            ids0 = [d.tag_id for d in results[0][0]]
+            ids1 = [d.tag_id for d in results[1][0]]
+            if ids0 == [5] and ids1 == [9]:
+                break
+            time.sleep(0.02)
+        assert (ids0, ids1) == ([5], [9]), f"got {ids0}, {ids1}"
+    finally:
+        system.stop()
+
+
 def test_mesh_sharded_detection():
     import jax
     if len(jax.devices()) < 4:
